@@ -1,0 +1,104 @@
+from webcrawler_spark.urlnorm import (
+    basename,
+    canonicalize,
+    primary_domain,
+    resolve,
+    sha1_hex,
+    url_host,
+)
+
+
+class TestPrimaryDomain:
+    # table-driven, mirroring scheduler/domain.go:8-60 semantics
+    def test_common_suffixes(self):
+        assert primary_domain("www.example.com") == "example.com"
+        assert primary_domain("a.b.example.com") == "example.com"
+        assert primary_domain("www.example.com.cn") == "example.com.cn"
+        assert primary_domain("www.example.gov.uk") == "example.gov.uk"
+        assert primary_domain("www.example.net") == "example.net"
+        assert primary_domain("x.example.org") == "example.org"
+
+    def test_single_suffixes(self):
+        assert primary_domain("www.example.me") == "example.me"
+        assert primary_domain("s.example.tv") == "example.tv"
+        assert primary_domain("www.example.cn") == "example.cn"  # generic \.\w{2}$
+
+    def test_ip_passthrough(self):
+        assert primary_domain("192.168.0.1") == "192.168.0.1"
+        # the reference's IP regex is a *search*: embedded quad passes through
+        assert primary_domain("192.168.0.1:8080") == "192.168.0.1:8080"
+
+    def test_no_subdomain(self):
+        assert primary_domain("example.com") == "example.com"
+        assert primary_domain("example.cn") == "example.cn"
+
+    def test_unrecognized(self):
+        assert primary_domain("localhost") is None
+        assert primary_domain("") is None
+        assert primary_domain(".com") is None  # suffixIndex == 0 -> error
+        assert primary_domain("example.com:8080") is None  # port breaks suffix
+
+    def test_leftmost_match_wins(self):
+        # www.x.com.cn: '.com.cn' suffix found at '.com' -> primary x.com.cn
+        assert primary_domain("www.x.com.cn") == "x.com.cn"
+
+
+class TestCanonicalize:
+    def test_lowercase_and_default_port(self):
+        assert canonicalize("HTTP://WWW.Example.COM:80/A/b") == "http://www.example.com/A/b"
+        assert canonicalize("https://h.com:443/x") == "https://h.com/x"
+        assert canonicalize("http://h.com:8080/x") == "http://h.com:8080/x"
+
+    def test_dot_segments(self):
+        assert canonicalize("http://h.com/a/b/../c/./d") == "http://h.com/a/c/d"
+        assert canonicalize("http://h.com/../a") == "http://h.com/a"
+        assert canonicalize("http://h.com/a/..") == "http://h.com/"
+
+    def test_empty_path(self):
+        assert canonicalize("http://h.com") == "http://h.com/"
+
+    def test_fragment_dropped_query_kept(self):
+        assert canonicalize("http://h.com/p?q=1#frag") == "http://h.com/p?q=1"
+
+    def test_percent_normalization(self):
+        assert canonicalize("http://h.com/%7euser") == "http://h.com/~user"
+        assert canonicalize("http://h.com/a%2fb") == "http://h.com/a%2Fb"
+
+    def test_invalid(self):
+        assert canonicalize("not a url") is None
+        assert canonicalize("") is None
+        assert canonicalize(None) is None
+        assert canonicalize("/relative/only") is None
+
+    def test_idempotent(self):
+        u = canonicalize("HTTP://H.com:80/a/../b%2Fc?x=%7e#f")
+        assert canonicalize(u) == u
+
+
+class TestResolve:
+    def test_relative(self):
+        assert resolve("http://h.com/a/b", "c") == "http://h.com/a/c"
+        assert resolve("http://h.com/a/b", "/c") == "http://h.com/c"
+        assert resolve("http://h.com/a/b", "../c") == "http://h.com/c"
+
+    def test_absolute_passthrough(self):
+        assert resolve("http://h.com/", "https://o.com/x") == "https://o.com/x"
+
+    def test_protocol_relative(self):
+        assert resolve("https://h.com/", "//o.com/x") == "https://o.com/x"
+
+
+class TestMisc:
+    def test_sha1(self):
+        assert sha1_hex("abc") == "a9993e364706816aba3e25717850c26c9cd0d89d"
+
+    def test_basename_go_semantics(self):
+        assert basename("/a/b/c.jpg") == "c.jpg"
+        assert basename("/a/b/") == "b"
+        assert basename("") == "."
+        assert basename("/") == "/"
+        assert basename("c.jpg") == "c.jpg"
+
+    def test_url_host_keeps_port(self):
+        assert url_host("http://h.com:8080/x") == "h.com:8080"
+        assert url_host("http://h.com/x") == "h.com"
