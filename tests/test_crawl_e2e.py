@@ -1,0 +1,162 @@
+"""End-to-end: Spark engine ≡ single-threaded oracle on the synthetic web.
+
+The BASELINE correctness gate: identical (round, url) crawl order with
+canonical within-round order, identical final seen-set, byte-identical
+extracted text per url, identical items and per-round metrics — same seed
+list, same politeness budgets.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle import CrawlConfig as OracleConfig, crawl as oracle_crawl
+from webcrawler_spark.fixtures import WHITELIST
+from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+
+def _run_both(spark, fixture_web, tmp_path, parsers, with_politeness, use_bloom=True,
+              salt_buckets=None):
+    paths = fixture_web["paths"]
+    pages_df = spark.read.parquet(paths["pages"])
+    seeds_df = spark.read.parquet(paths["seeds"])
+    robots_df = spark.read.parquet(paths["robots"])
+
+    budgets = None
+    robots = None
+    budgets_df = None
+    robots_arg = None
+    if with_politeness:
+        budgets = {r["host"]: r["budget_per_round"] for r in fixture_web["robots"]}
+        robots = {r["host"]: r["disallow_prefixes"] for r in fixture_web["robots"]}
+        budgets_df = robots_df.select("host", "budget_per_round")
+        robots_arg = robots_df.select("host", "disallow_prefixes")
+
+    ocfg = OracleConfig(
+        whitelist=WHITELIST, max_depth=3, max_rounds=12, parsers=parsers,
+        budgets=budgets, robots=robots,
+    )
+    golden = oracle_crawl(fixture_web["pages"], fixture_web["seeds"], ocfg)
+
+    cfg = CrawlConfig(
+        whitelist=WHITELIST, max_depth=3, max_rounds=12, parsers=parsers,
+        use_bloom=use_bloom, politeness_salt_buckets=salt_buckets,
+    )
+    result = run_crawl(
+        spark, pages_df, seeds_df, cfg,
+        checkpoint_dir=str(tmp_path / f"ckpt_{parsers}_{with_politeness}"),
+        budgets=budgets_df, robots=robots_arg,
+    )
+    return golden, result
+
+
+def _assert_match(spark, golden, result):
+    # --- crawl order: identical (round, url) + canonical in-round order ---
+    engine_order = [
+        (r["round"], r["host"], r["url"], r["url_sha1"])
+        for r in result.order(spark)
+        .orderBy("round", "host", "url_sha1")
+        .collect()
+    ]
+    assert engine_order == golden.order
+
+    # --- seen set ---
+    engine_seen = {
+        r["url_sha1"]: (r["url"], r["first_round"])
+        for r in result.seen(spark).collect()
+    }
+    assert engine_seen == golden.seen
+
+    # --- metrics (per-round lineage counts) ---
+    keys = ["round", "candidates", "admitted", "fetched", "items", "errors", "deferred"]
+    engine_metrics = [{k: m[k] for k in keys} for m in result.metrics]
+    golden_metrics = [{k: m[k] for k in keys} for m in golden.metrics]
+    assert engine_metrics == golden_metrics
+
+
+@pytest.mark.parametrize("parsers", ["combined", "bm1365"])
+def test_engine_matches_oracle(spark, fixture_web, tmp_path, parsers):
+    golden, result = _run_both(spark, fixture_web, tmp_path, parsers,
+                               with_politeness=False)
+    _assert_match(spark, golden, result)
+
+
+def test_engine_matches_oracle_with_politeness(spark, fixture_web, tmp_path):
+    golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
+                               with_politeness=True)
+    _assert_match(spark, golden, result)
+
+
+def test_politeness_budgets_enforced(spark, fixture_web, tmp_path):
+    golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
+                               with_politeness=True, salt_buckets=4)
+    _assert_match(spark, golden, result)
+    budgets = {r["host"]: r["budget_per_round"] for r in fixture_web["robots"]}
+    per_round_host = (
+        result.order(spark).groupBy("round", "host").count().collect()
+    )
+    for row in per_round_host:
+        if row["host"] in budgets:
+            assert row["count"] <= budgets[row["host"]]
+
+
+def test_items_and_byte_identical_text(spark, fixture_web, tmp_path):
+    golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
+                               with_politeness=True)
+    items_df = result.items(spark)
+
+    # --- bm items: every jcux field equal, info byte-identical ---
+    engine_bm = {
+        r["url"]: (r["round"], r["jcux"].asDict())
+        for r in items_df.filter(F.col("kind") == "bm").collect()
+    }
+    golden_bm = {
+        i["url"]: (i["round"], i["jcux"]) for i in golden.items if i["kind"] == "bm"
+    }
+    assert set(engine_bm) == set(golden_bm)
+    for url, (rnd, jcux) in golden_bm.items():
+        e_rnd, e_jcux = engine_bm[url]
+        assert e_rnd == rnd
+        assert e_jcux == jcux, f"jcux mismatch for {url}"
+
+    # --- THE invariant: extracted text byte-identical to the golden
+    # `text` column of the pages table (JcUx.go:195-200) ---
+    pages_df = spark.read.parquet(fixture_web["paths"]["pages"])
+    joined = (
+        items_df.filter(F.col("kind") == "bm")
+        .join(pages_df.select("url", "text"), "url")
+        .select("url", F.col("jcux.info").alias("engine_text"), "text")
+        .collect()
+    )
+    assert len(joined) > 0
+    for r in joined:
+        assert r["engine_text"] == r["text"], f"text mismatch for {r['url']}"
+
+    # --- img items ---
+    engine_img = {
+        r["url"]: (r["round"], r["file_name"], r["file_ext"], r["file_size"])
+        for r in items_df.filter(F.col("kind") == "img").collect()
+    }
+    golden_img = {
+        i["url"]: (i["round"], i["file_name"], i["file_ext"], i["file_size"])
+        for i in golden.items
+        if i["kind"] == "img"
+    }
+    assert engine_img == golden_img
+
+
+def test_errors_match(spark, fixture_web, tmp_path):
+    golden, result = _run_both(spark, fixture_web, tmp_path, "generic",
+                               with_politeness=False)
+    engine_errors = {
+        (r["round"], r["url"]) for r in result.errors(spark).collect()
+    }
+    golden_errors = {(e["round"], e["url"]) for e in golden.errors}
+    assert engine_errors == golden_errors
+
+
+def test_bloom_never_loses_urls(spark, fixture_web, tmp_path):
+    """bloom 'maybe-seen' still passes the exact anti-join: results with and
+    without the bloom prefilter are identical."""
+    golden_a, with_bloom = _run_both(spark, fixture_web, tmp_path, "combined",
+                                     with_politeness=False, use_bloom=True)
+    _assert_match(spark, golden_a, with_bloom)

@@ -1,0 +1,77 @@
+"""Checkpoint/resume: kill after round k, rerun, identical final state.
+
+Simulates the kill by deleting every committed round manifest (and round
+data) after round k — exactly what a crash mid-round leaves behind: the
+last manifest wins, later partial writes are orphans the rerun overwrites.
+"""
+
+import shutil
+
+from webcrawler_spark.fixtures import WHITELIST
+from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+from webcrawler_spark.storage import RoundStore
+
+
+def _collect_state(spark, result):
+    order = sorted(
+        (r["round"], r["url"]) for r in result.order(spark).collect()
+    )
+    seen = {
+        r["url_sha1"]: (r["url"], r["first_round"])
+        for r in result.seen(spark).collect()
+    }
+    items = sorted(
+        (r["round"], r["url"], r["kind"]) for r in result.items(spark).collect()
+    )
+    return order, seen, items
+
+
+def test_kill_after_round_k_resume(spark, fixture_web, tmp_path):
+    paths = fixture_web["paths"]
+    pages_df = spark.read.parquet(paths["pages"])
+    seeds_df = spark.read.parquet(paths["seeds"])
+    cfg = CrawlConfig(whitelist=WHITELIST, max_depth=2, max_rounds=8,
+                      parsers="combined")
+
+    # reference run
+    full_dir = str(tmp_path / "full")
+    full = run_crawl(spark, pages_df, seeds_df, cfg, checkpoint_dir=full_dir)
+    want = _collect_state(spark, full)
+    assert full.rounds >= 3  # needs something to kill
+
+    # run, then "kill" by dropping rounds > k
+    crash_dir = str(tmp_path / "crash")
+    run_crawl(spark, pages_df, seeds_df, cfg, checkpoint_dir=crash_dir)
+    store = RoundStore(crash_dir)
+    k = 1
+    import os
+    for rnd in store.committed_rounds():
+        if rnd > k:
+            os.remove(os.path.join(store.manifest_dir, f"round_{rnd}.json"))
+            shutil.rmtree(os.path.join(store.rounds_dir, f"r={rnd}"),
+                          ignore_errors=True)
+    # un-done the surviving round (a crash would never have marked done)
+    m = store.manifest(k)
+    assert store.last_committed() == k
+    if m.get("done"):
+        m["done"] = False
+        import json
+        with open(os.path.join(store.manifest_dir, f"round_{k}.json"), "w") as f:
+            json.dump(m, f)
+
+    resumed = run_crawl(spark, pages_df, seeds_df, cfg, checkpoint_dir=crash_dir,
+                        resume=True)
+    got = _collect_state(spark, resumed)
+    assert got == want
+
+
+def test_resume_on_done_store_is_noop(spark, fixture_web, tmp_path):
+    paths = fixture_web["paths"]
+    pages_df = spark.read.parquet(paths["pages"])
+    seeds_df = spark.read.parquet(paths["seeds"])
+    cfg = CrawlConfig(whitelist=WHITELIST, max_depth=1, max_rounds=4,
+                      parsers="bm1365")
+    d = str(tmp_path / "done")
+    first = run_crawl(spark, pages_df, seeds_df, cfg, checkpoint_dir=d)
+    again = run_crawl(spark, pages_df, seeds_df, cfg, checkpoint_dir=d, resume=True)
+    assert _collect_state(spark, first) == _collect_state(spark, again)

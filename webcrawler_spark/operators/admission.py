@@ -1,0 +1,132 @@
+"""Frontier admission — the reference's SendReq pipeline as DataFrame algebra.
+
+Filter conjunction (scheduler/scheduler.go:528-576, same admitted set):
+validity -> scheme http/https -> [robots, NEW] -> domain whitelist ->
+depth limit -> in-round dedup -> anti-join against the seen table
+(the cmap test-and-set at scheduler.go:551-574).
+
+Plan-shape notes for 100 TB scale:
+
+* all predicates except canonicalization are native expressions — one
+  WholeStageCodegen span over the candidate scan;
+* dedup-before-fetch is manual predicate pushdown: the anti-join runs
+  BEFORE the expensive fetch join (Catalyst will not reorder across the
+  parse UDF, so the round plan fixes this order — SURVEY.md §4);
+* in-round duplicate resolution is an aggregation (min struct), never
+  "first row wins" (task order is nondeterministic);
+* the seen anti-join is a shuffle on url_sha1; callers can pre-filter with
+  the sharded broadcast bloom (operators/bloom.py) so only probable-new
+  URLs reach the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..functions.urls import canonicalize_udf
+
+CANDIDATE_COLS = ["url", "url_sha1", "host", "path", "depth", "parent_url", "link_pos"]
+
+
+def canonicalize_candidates(cand: DataFrame) -> DataFrame:
+    """raw (url, depth, parent_url, link_pos) -> canonical + derived cols.
+
+    Invalid/relative URLs become NULL and are dropped (the reference's
+    nil-URL validity check, scheduler.go:536-544).
+    """
+    out = cand.withColumn("url", canonicalize_udf(F.col("url")))
+    out = out.filter(F.col("url").isNotNull())
+    return (
+        out.withColumn("url_sha1", U.url_sha1(F.col("url")))
+        .withColumn("host", U.url_host(F.col("url")))
+        .withColumn("path", U.url_path(F.col("url")))
+    )
+
+
+def admission_filters(
+    cand: DataFrame,
+    whitelist: list[str],
+    max_depth: int,
+    robots: DataFrame | None = None,
+) -> DataFrame:
+    """Pure admission predicates over canonicalized candidates."""
+    out = cand.filter(U.url_scheme(F.col("url")).isin("http", "https"))
+
+    if robots is not None:
+        # robots: (host, disallow_prefixes array<string>) — tiny dim table,
+        # broadcast; a candidate is rejected when its path starts with any
+        # disallowed prefix for its host. NEW per north_rule.
+        blocked = (
+            F.exists(
+                F.col("_r_prefixes"),
+                lambda p: F.col("path").startswith(p),
+            )
+        )
+        out = (
+            out.join(
+                F.broadcast(
+                    robots.select(
+                        F.col("host").alias("_r_host"),
+                        F.col("disallow_prefixes").alias("_r_prefixes"),
+                    )
+                ),
+                on=[out["host"] == F.col("_r_host")],
+                how="left",
+            )
+            .filter(F.col("_r_prefixes").isNull() | ~blocked)
+            .drop("_r_host", "_r_prefixes")
+        )
+
+    out = out.filter(U.primary_domain(F.col("host")).isin(whitelist))
+    out = out.filter(F.col("depth") <= F.lit(max_depth))
+    return out
+
+
+def dedup_in_round(cand: DataFrame) -> DataFrame:
+    """Two candidates for one URL in one round -> exactly one admitted
+    (the test-and-set race at scheduler.go:551-574), with a deterministic
+    winner: min (depth, parent_url, link_pos). Aggregation, not
+    dropDuplicates — task order must not pick the winner."""
+    winner = F.min(F.struct("depth", "parent_url", "link_pos")).alias("w")
+    return (
+        cand.groupBy("url_sha1")
+        .agg(F.min("url").alias("url"), F.min("host").alias("host"),
+             F.min("path").alias("path"), winner)
+        .select(
+            "url_sha1", "url", "host", "path",
+            F.col("w.depth").alias("depth"),
+            F.col("w.parent_url").alias("parent_url"),
+            F.col("w.link_pos").alias("link_pos"),
+        )
+    )
+
+
+def anti_join_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:
+    """Drop already-seen URLs. `seen` needs only url_sha1; the join shuffles
+    on url_sha1 (both sides hash-partitioned on the key — with a bucketed
+    seen table this is a co-located join at scale)."""
+    return cand.join(seen.select("url_sha1"), on="url_sha1", how="left_anti")
+
+
+def admit(
+    cand_raw: DataFrame,
+    seen: DataFrame,
+    whitelist: list[str],
+    max_depth: int,
+    robots: DataFrame | None = None,
+    bloom_prefilter=None,
+) -> DataFrame:
+    """Full admission: returns the admitted frontier rows for this round.
+
+    bloom_prefilter: optional callable df -> (probably_new_df, definitely_new_df)
+    from operators/bloom.py; definite-new rows skip the exact anti-join.
+    """
+    cand = canonicalize_candidates(cand_raw)
+    cand = admission_filters(cand, whitelist, max_depth, robots=robots)
+    cand = dedup_in_round(cand)
+    if bloom_prefilter is not None:
+        maybe_seen, definitely_new = bloom_prefilter(cand)
+        return anti_join_seen(maybe_seen, seen).unionByName(definitely_new)
+    return anti_join_seen(cand, seen)

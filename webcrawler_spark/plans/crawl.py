@@ -1,0 +1,385 @@
+"""The batch-iterative crawl loop — one Spark DAG per round.
+
+Round algebra (the reference's download/analyze/pick stage loops,
+scheduler/scheduler.go:353-524, collapsed into declarative DataFrame ops):
+
+    candidates_r --canonicalize+sha1--> admission filters (native exprs)
+      --in-round dedup (min-struct agg)--> anti-join(seen) [bloom prefilt]
+      --> admitted  ==> seen_delta (admission marks seen, scheduler.go:574)
+    queue = deferred_{r-1} ∪ admitted
+      --politeness slot window--> fetch_now | deferred_r
+    fetch_now --left join pages (the web)--> fetched
+      --content gates--> html pages --parse pandas UDF--> items + links
+    links --posexplode, depth+1 (analyzer.go:127)--> candidates_{r+1}
+
+Everything between the two shuffles (dedup anti-join, fetch join) is native
+and codegen'd; Python appears exactly once per round (the Arrow-batched
+parse UDF). Dedup runs BEFORE the fetch join — the reference's
+dedup-before-fetch invariant (never fetch a URL twice) and also the cheap
+side of the plan: at 10^10-frontier scale the anti-join prunes the fetch
+join's probe side.
+
+Every round commits atomically through RoundStore (frontier, seen delta,
+items, errors, per-partition lineage, metrics) so a killed job resumes at
+the last manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from ..functions import urls as U
+from ..functions.html import JCUX_SCHEMA, parse_html_udf
+from ..operators import admission
+from ..operators.bloom import ShardedBloom, bloom_split
+from ..operators.politeness import assign_fetch_slots
+from ..storage import RoundStore
+
+CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_sha1", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("depth", T.LongType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("link_pos", T.LongType()),
+    ]
+)
+
+RAW_CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.LongType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("link_pos", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    whitelist: list[str]
+    max_depth: int = 3
+    max_rounds: int = 20
+    parsers: str = "combined"            # "generic" | "bm1365" | "combined"
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+    bloom_shard_bits: int = 0            # raise at 10^10 scale
+    politeness_salt_buckets: int | None = None  # enable for hot-host skew
+    seen_partitions: int | None = None   # repartition seen deltas by url_sha1
+
+
+@dataclass
+class CrawlResult:
+    store: RoundStore
+    rounds: int = 0
+    metrics: list[dict] = field(default_factory=list)
+
+    def order(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_all(spark, "order")
+
+    def seen(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_all(spark, "seen_delta")
+
+    def items(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_all(spark, "items")
+
+    def errors(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_all(spark, "errors")
+
+
+def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
+    """Seed list -> raw round-0 candidates (InitReqList analog,
+    exampes/finder/bm1365Model/JcUx.go:47-85: every seed enters SendReq at
+    depth 0)."""
+    return seeds.select(
+        F.col("url").cast("string").alias("url"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit("").alias("parent_url"),
+        F.col("order").cast("long").alias("link_pos"),
+    )
+
+
+def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _items_schema_img(fetched: DataFrame, rnd: int) -> DataFrame:
+    """parseImg items (bmParser.go:126-156) + savePicture enrichment
+    (bmProcessor.go:56-61): name, format, size — all native expressions."""
+    ct = F.col("content_type")
+    return (
+        fetched.filter((F.col("status") == 200) & ct.startswith("image"))
+        .filter(U.image_format(ct) != "")
+        .select(
+            F.lit(rnd).alias("round"),
+            F.col("url"),
+            F.lit("img").alias("kind"),
+            U.url_basename(U.url_path(F.col("url"))).alias("file_name"),
+            U.image_format(ct).alias("file_ext"),
+            F.length("html").cast("long").alias("file_size"),
+            F.lit(None).cast(JCUX_SCHEMA).alias("jcux"),
+        )
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    cfg: CrawlConfig,
+    checkpoint_dir: str,
+    budgets: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    store = RoundStore(checkpoint_dir)
+    result = CrawlResult(store=store)
+
+    # ---- resume or cold start -------------------------------------------
+    last = store.last_committed() if resume else None
+    if last is not None:
+        if store.is_done():
+            result.rounds = last + 1
+            result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
+            return result
+        candidates = store.read(spark, last, "next_candidates")
+        deferred = store.read(spark, last, "deferred")
+        seen = store.read_all(spark, "seen_delta", upto=last)
+        rnd = last + 1
+        result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
+    else:
+        candidates = seeds_to_candidates(seeds)
+        deferred = _empty(spark, CANDIDATE_SCHEMA)
+        seen = None
+        rnd = 0
+
+    # pages is scanned every round: url + html only (column pruning reaches
+    # the parquet scan; `text`/`lang` are never read by the crawl plan)
+    pages_fetch = pages.select("url", "html")
+
+    while rnd <= cfg.max_rounds:
+        n_candidates = candidates.count()
+
+        seen_df = seen if seen is not None else _empty(
+            spark, T.StructType([T.StructField("url_sha1", T.StringType())])
+        )
+
+        prefilter = None
+        if cfg.use_bloom and seen is not None:
+            n_seen = seen.count()
+            if n_seen > 0:
+                bloom = ShardedBloom.build(
+                    seen, expected_per_shard=max(1024, n_seen * 2),
+                    fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
+                )
+                prefilter = bloom_split(spark, bloom)
+
+        admitted = admission.admit(
+            candidates, seen_df, cfg.whitelist, cfg.max_depth,
+            robots=robots, bloom_prefilter=prefilter,
+        )
+        if cfg.seen_partitions:
+            admitted = admitted.repartition(cfg.seen_partitions, "url_sha1")
+        admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
+        n_admitted = admitted.count()
+
+        queue = deferred.unionByName(admitted)
+        n_queue = n_admitted + deferred.count()
+
+        seen_delta = admitted.select(
+            "url_sha1", "url", F.lit(rnd).cast("long").alias("first_round")
+        )
+
+        if n_queue == 0:
+            stats = {"round": rnd, "candidates": n_candidates, "admitted": 0,
+                     "fetched": 0, "items": 0, "errors": 0, "deferred": 0}
+            store.commit_round(
+                rnd,
+                {
+                    "seen_delta": seen_delta,
+                    "order": _empty(spark, _ORDER_SCHEMA),
+                    "items": _empty(spark, _items_schema()),
+                    "errors": _empty(spark, _ERRORS_SCHEMA),
+                    "lineage": _empty(spark, _LINEAGE_SCHEMA),
+                    "next_candidates": _empty(spark, RAW_CANDIDATE_SCHEMA),
+                    "deferred": _empty(spark, CANDIDATE_SCHEMA),
+                },
+                stats=stats, done=True,
+            )
+            result.metrics.append(stats)
+            admitted.unpersist()
+            result.rounds = rnd + 1
+            return result
+
+        fetch_now, deferred_next = assign_fetch_slots(
+            queue, budgets, salt_buckets=cfg.politeness_salt_buckets
+        )
+        fetch_now = fetch_now.persist(StorageLevel.MEMORY_AND_DISK)
+        n_fetch = fetch_now.count()
+
+        order = fetch_now.select(
+            F.lit(rnd).cast("long").alias("round"), "host", "url", "url_sha1"
+        )
+
+        # ---- fetch: the frontier⋈pages join (downloader.go:37-56 analog).
+        # Left join keeps misses (the 404/non-200 error path).
+        fetched = (
+            fetch_now.join(pages_fetch, on="url", how="left")
+            .withColumn("content_type", U.content_type_for(F.col("url")))
+            .withColumn(
+                "status",
+                F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        errors = fetched.filter(F.col("status") != 200).select(
+            F.lit(rnd).cast("long").alias("round"),
+            "url",
+            F.lit("fetch").alias("stage"),
+            F.lit("fetch_miss").alias("message"),
+        )
+
+        items_img = _items_schema_img(fetched, rnd)
+
+        html_pages = fetched.filter(
+            (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+        ).select("url", "host", "depth", "html")
+
+        parsed = html_pages.withColumn(
+            "p", parse_html_udf(F.col("html"), F.col("url"))
+        ).select("url", "host", "depth", "p").persist(StorageLevel.MEMORY_AND_DISK)
+
+        if cfg.parsers == "bm1365":
+            out_links = F.col("p.scoped_img_links")
+        elif cfg.parsers == "generic":
+            out_links = F.concat(F.col("p.links"), F.col("p.img_links"))
+        else:  # combined: analyzer parser-list concat order (analyzer.go:92-111)
+            out_links = F.concat(
+                F.col("p.scoped_img_links"), F.col("p.links"), F.col("p.img_links")
+            )
+
+        if cfg.parsers in ("bm1365", "combined"):
+            items_bm = parsed.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("url"),
+                F.lit("bm").alias("kind"),
+                F.lit("").alias("file_name"),
+                F.lit("").alias("file_ext"),
+                F.lit(0).cast("long").alias("file_size"),
+                F.col("p.jcux").alias("jcux"),
+            )
+            items = items_bm.unionByName(items_img)
+        else:
+            items = items_img
+
+        next_candidates = parsed.select(
+            F.col("url").alias("parent_url"),
+            (F.col("depth") + 1).cast("long").alias("depth"),  # analyzer.go:127
+            F.posexplode(out_links).alias("link_pos", "url"),
+        ).select("url", "depth", "parent_url", F.col("link_pos").cast("long"))
+
+        # per-partition lineage: which partitions produced how many fetched
+        # rows this round (north_rule: per-partition lineage + metrics)
+        lineage = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched_ok"),
+        ).withColumn("round", F.lit(rnd).cast("long"))
+
+        stats = {
+            "round": rnd,
+            "candidates": n_candidates,
+            "admitted": n_admitted,
+            "fetched": n_fetch,
+            "items": 0,   # filled below after write
+            "errors": 0,
+            "deferred": 0,
+        }
+        store.commit_round(
+            rnd,
+            {
+                "seen_delta": seen_delta,
+                "order": order,
+                "items": items,
+                "errors": errors,
+                "lineage": lineage,
+                "next_candidates": next_candidates,
+                "deferred": deferred_next,
+            },
+            stats=stats,
+        )
+
+        # read back committed data (truncates lineage; cheap local parquet)
+        items_c = store.read(spark, rnd, "items").count()
+        errors_c = store.read(spark, rnd, "errors").count()
+        deferred = store.read(spark, rnd, "deferred")
+        deferred_c = deferred.count()
+        stats.update({"items": items_c, "errors": errors_c, "deferred": deferred_c})
+        result.metrics.append(stats)
+
+        candidates = store.read(spark, rnd, "next_candidates")
+        seen = store.read_all(spark, "seen_delta", upto=rnd)
+
+        admitted.unpersist()
+        fetch_now.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
+
+        rnd += 1
+        if candidates.count() == 0 and deferred_c == 0:
+            break
+
+    last = store.last_committed()
+    if last is not None:
+        store.mark_done(last)
+    result.rounds = rnd
+    return result
+
+
+_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_sha1", T.StringType()),
+    ]
+)
+
+_ERRORS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("fetched_ok", T.LongType()),
+        T.StructField("round", T.LongType()),
+    ]
+)
+
+
+def _items_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("round", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("file_name", T.StringType()),
+            T.StructField("file_ext", T.StringType()),
+            T.StructField("file_size", T.LongType()),
+            T.StructField("jcux", JCUX_SCHEMA),
+        ]
+    )

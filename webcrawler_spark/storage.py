@@ -1,0 +1,118 @@
+"""Checkpointed round storage: atomic per-round commits + resume (NEW).
+
+The reference has only an in-memory status machine (scheduler/status.go);
+the north_rule requires every round to commit frontier, seen-set deltas and
+per-partition lineage/metrics so a killed job resumes exactly where it
+stopped. The natural backend is an Iceberg transaction; this sandbox has no
+Iceberg runtime jar, so `RoundStore` implements the same semantics on plain
+parquet: write every dataset of the round under a staging directory, then
+atomically rename a round manifest into place. A round without a manifest
+does not exist — rerunning after a mid-round kill overwrites the orphan
+staging data. Table layouts and schemas are Iceberg-compatible, so swapping
+the backend is a config change, not a redesign.
+
+Layout:
+    <root>/rounds/r=<K>/<name>/          parquet datasets of round K
+    <root>/_manifests/round_<K>.json     commit record (written last, atomic)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class RoundStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.rounds_dir = os.path.join(root, "rounds")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.rounds_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def round_path(self, rnd: int, name: str) -> str:
+        return os.path.join(self.rounds_dir, f"r={rnd}", name)
+
+    def _manifest_path(self, rnd: int) -> str:
+        return os.path.join(self.manifest_dir, f"round_{rnd}.json")
+
+    # -- commit ------------------------------------------------------------
+    def commit_round(self, rnd: int, datasets: dict[str, DataFrame],
+                     stats: dict | None = None, done: bool = False) -> dict:
+        """Write all datasets of a round, then the manifest (atomic rename).
+
+        Returns the manifest dict (includes per-dataset row counts — the
+        driver-visible lineage record for the round).
+        """
+        counts = {}
+        for name, df in datasets.items():
+            path = self.round_path(rnd, name)
+            if os.path.exists(path):
+                shutil.rmtree(path)  # orphan from a killed, uncommitted run
+            df.write.mode("overwrite").parquet(path)
+        manifest = {
+            "round": rnd,
+            "committed_at": time.time(),
+            "datasets": sorted(datasets.keys()),
+            "stats": stats or {},
+            "done": done,
+        }
+        tmp = self._manifest_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(rnd))  # atomic commit point
+        return manifest
+
+    def mark_done(self, rnd: int) -> None:
+        """Flip the done flag on an already-committed round (atomic)."""
+        manifest = self.manifest(rnd)
+        manifest["done"] = True
+        tmp = self._manifest_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(rnd))
+
+    # -- resume ------------------------------------------------------------
+    def committed_rounds(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self.manifest_dir):
+            if fn.startswith("round_") and fn.endswith(".json"):
+                out.append(int(fn[len("round_"):-len(".json")]))
+        return sorted(out)
+
+    def last_committed(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def manifest(self, rnd: int) -> dict:
+        with open(self._manifest_path(rnd)) as f:
+            return json.load(f)
+
+    def is_done(self) -> bool:
+        last = self.last_committed()
+        return last is not None and self.manifest(last).get("done", False)
+
+    def read(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
+        return spark.read.parquet(self.round_path(rnd, name))
+
+    def read_all(self, spark: SparkSession, name: str,
+                 upto: int | None = None) -> DataFrame | None:
+        """Union of a dataset across all committed rounds (e.g. the full
+        seen set from its per-round deltas)."""
+        rounds: Iterable[int] = self.committed_rounds()
+        if upto is not None:
+            rounds = [r for r in rounds if r <= upto]
+        paths = [self.round_path(r, name) for r in rounds
+                 if os.path.exists(self.round_path(r, name))]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
