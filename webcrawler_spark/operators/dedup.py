@@ -1,0 +1,312 @@
+"""Deduplication operators for crawled-text training-data pipelines.
+
+Five strategies over the ``documents`` table, each Spark-first:
+
+* exact       — one hash-groupBy on md5(text); map-side partial agg, one
+                shuffle on the hash key.
+* n-gram Jaccard — word-shingle inverted index (explode + self-equi-join on
+                the shingle), blocked by a key (e.g. ``source``) so the
+                pair space never goes quadratic globally.
+* MinHash+LSH — k min-hashes per doc from ONE explode + k min-aggregates
+                (single shuffle), banded into b buckets; candidate pairs
+                come from a bucket equi-join, then verified with true
+                Jaccard. The min-hash is ``min(md5(seed || '|' || shingle))``
+                — lexicographic min over md5 hex strings is a uniform
+                min-hash and is bit-identical in any engine with md5.
+* SimHash     — 16-bit signature from per-token md5 nibbles, computed as 16
+                conditional sums in a single groupBy (no bit-position
+                explode ⇒ one shuffle); near-dup pairs via
+                bit_count(xor) <= h within a block.
+* embedding   — cosine >= threshold pairs within a block, reusing
+                similarity.cosine (strict-left-fold double, oracle-exact).
+
+All hash/bit arithmetic is integer or md5-string based so every operator
+has an exact DuckDB oracle twin in ``__spark_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+from .textstats import tokens
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content hash; keeper = min id (deterministic winner, same
+    rule as the crawl's in-round dedup — never 'first task wins')."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly the keeper row of every content group."""
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# -------------------------------------------------------------- shingles ----
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined). Empty array below n tokens."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra: list[str] | None = None
+) -> DataFrame:
+    cols = [F.col(id_col)] + [F.col(c) for c in (extra or [])]
+    return df.select(
+        *cols, F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """True n-gram Jaccard for every in-block pair with >=1 shared shingle.
+
+    Inverted-index join: |A∩B| from the shingle equi-join, |A|,|B| from a
+    per-doc count. Counts are integers; the single final division is
+    double ⇒ cross-engine exact after round(…, 6).
+    """
+    extra = [block_col] if block_col else []
+    ex = _exploded_shingles(df, id_col, text_col, n, extra)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    left = ex.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(c).alias(f"_b1_{c}") for c in extra],
+        "shingle",
+    )
+    right = ex.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(c).alias(f"_b2_{c}") for c in extra],
+        F.col("shingle").alias("shingle2"),
+    )
+    cond = [F.col("shingle") == F.col("shingle2"), F.col("id1") < F.col("id2")]
+    for c in extra:
+        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
+    inter = (
+        left.join(right, cond)
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- minhash ----
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}): k lexicographic-min md5 hashes from ONE explode and
+    ONE shuffle (k min-aggregates run map-side-partial)."""
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """(id, band_id, band_key): hash r consecutive signature components per
+    band. A pair collides iff all r components of some band match."""
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """LSH candidates (bucket equi-join on (band_id, band_key)) verified
+    with true Jaccard >= threshold. The verify join only sees candidate
+    pairs — the LSH point: at 10^9 docs the quadratic pair space never
+    materializes; the shuffles are explode→min-agg and the bucket join."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    bd = lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+    cand = (
+        bd.alias("a")
+        .join(bd.alias("b"), on=["band_id", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    true_j = jaccard_pairs(
+        df, id_col, text_col, block_col=None, n=n, threshold=0.0
+    )
+    return cand.join(true_j, on=["id1", "id2"], how="inner").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# -------------------------------------------------------------- simhash ----
+
+def _token_bit(hex4: Column, j: int) -> Column:
+    """Bit j (0..15) of the 16-bit value held in 4 hex chars of md5."""
+    ch = F.substring(hex4, j // 4 + 1, 1)
+    v = F.instr(F.lit(HEX), ch) - 1
+    shift = 1 << (3 - j % 4)
+    return (F.floor(v / F.lit(shift)).cast("int") % 2).cast("int")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (with multiplicity).
+
+    One explode + one groupBy(id) with 16 conditional sums — a single
+    shuffle, map-side combined. Bit j of the signature is set iff the
+    signed sum of token bit-j contributions is > 0.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn("hex4", F.substring(F.md5(F.col("token")), 1, 4))
+    aggs = [
+        F.sum(_token_bit(F.col("hex4"), j) * 2 - 1).alias(f"s{j}")
+        for j in range(16)
+    ]
+    summed = tok.groupBy(id_col).agg(*aggs)
+    sig = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else sig + bit
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over in-block SimHash pairs."""
+    extra = [block_col] if block_col else []
+    sh = simhash(df, id_col, text_col)
+    if extra:
+        sh = sh.join(df.select(id_col, *extra), on=id_col)
+    a = sh.select(
+        F.col(id_col).alias("id1"),
+        F.col("simhash").alias("sh1"),
+        *[F.col(c).alias(f"_b1_{c}") for c in extra],
+    )
+    b = sh.select(
+        F.col(id_col).alias("id2"),
+        F.col("simhash").alias("sh2"),
+        *[F.col(c).alias(f"_b2_{c}") for c in extra],
+    )
+    cond = [F.col("id1") < F.col("id2")]
+    for c in extra:
+        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sh1 ^ sh2")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ------------------------------------------------------------ embeddings ----
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cosine >= threshold pairs within a block (labels/LSH buckets keep
+    the join linear-ish; the cosine itself is oracle-exact double math)."""
+    extra = [block_col] if block_col else []
+    a = emb.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        *[F.col(c).alias(f"_b1_{c}") for c in extra],
+    )
+    b = emb.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        *[F.col(c).alias(f"_b2_{c}") for c in extra],
+    )
+    cond = [F.col("id1") < F.col("id2")]
+    for c in extra:
+        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )

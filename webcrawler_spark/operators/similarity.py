@@ -1,0 +1,136 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Spark-first ANN for training-data pipelines (near-dup mining, semantic
+retrieval over crawled documents):
+
+* ``cosine`` — dot/norms as a strict left fold of double products
+  (``zip_with`` + ``aggregate``), JVM-side, no UDF. The fold order is the
+  oracle contract: DuckDB's ``list_reduce`` folds identically, so scores
+  are bit-identical and safe to round + hash-compare.
+* ``topk_bruteforce`` — exact top-k: broadcast the (small) query set
+  against the full corpus, rank with a window. At 100 TB the corpus side
+  stays partition-parallel; the only shuffle is the per-query window,
+  which AQE handles (queries ≪ corpus).
+* ``sign_bucket`` / ``topk_lsh`` — the scale path: random-hyperplane-LSH
+  degenerates to coordinate-sign buckets for the first ``nbits``
+  components (deterministic, seedless ⇒ reproducible across engines).
+  Bucket-equi-join turns the quadratic cross join into a shuffle-join on
+  the bucket key; recall < 1 by construction (candidates must share all
+  ``nbits`` signs), which is the standard LSH trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (cross-engine exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """LSH bucket id from the signs of the first ``nbits`` components:
+    bucket = Σ_i (vec[i] >= 0) << i.  Deterministic and seed-free."""
+    out = F.lit(0).cast("long")
+    for i in range(nbits):
+        bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + bit.cast("long") * F.lit(1 << i)
+    return out
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus (self excluded).
+
+    ``queries`` is broadcast — the corpus never shuffles for the join; the
+    cross product is scanned partition-parallel and only (query, score)
+    pairs reach the ranking window.
+    Rank order: round(cos, 6) desc, neighbor id asc — fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: rank only candidates in the query's sign bucket.
+
+    The bucket equi-join replaces the cross join — at 10^9 vectors this is
+    a hash-partitioned join on ``bucket`` (skewed buckets split by AQE),
+    with the same deterministic ranking as the exact path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
