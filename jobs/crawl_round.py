@@ -1,0 +1,67 @@
+"""spark-submit entry point for the crawl engine (north_rule: "runs via
+spark-submit --py-files on a multi-executor cluster").
+
+Usage:
+    spark-submit --py-files webcrawler_spark.zip jobs/crawl_round.py \
+        --pages PATH --seeds PATH [--robots PATH] --checkpoint DIR \
+        [--whitelist d1,d2] [--max-depth 3] [--max-rounds 20] [--resume]
+
+All engine state lives in the checkpoint dir (per-round atomic manifests),
+so re-submitting with --resume continues exactly where a killed job
+stopped. On a real cluster nothing changes except --master and the
+executor/memory flags; the plan shapes (broadcast dims, url_sha1-keyed
+shuffles, salted politeness ranking) were chosen for that case.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--robots", default=None)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--whitelist", default=None,
+                    help="comma-separated primary domains; default: fixtures.WHITELIST")
+    ap.add_argument("--max-depth", type=int, default=3)
+    ap.add_argument("--max-rounds", type=int, default=20)
+    ap.add_argument("--salt-buckets", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from webcrawler_spark import fixtures
+    from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    spark = SparkSession.builder.appName("webcrawler-spark-crawl").getOrCreate()
+
+    pages = spark.read.parquet(args.pages)
+    seeds = spark.read.parquet(args.seeds)
+    budgets = robots = None
+    if args.robots:
+        robots_df = spark.read.parquet(args.robots)
+        budgets = robots_df.select("host", "budget_per_round")
+        robots = robots_df.select("host", "disallow_prefixes")
+
+    whitelist = args.whitelist.split(",") if args.whitelist else fixtures.WHITELIST
+    cfg = CrawlConfig(
+        whitelist=whitelist,
+        max_depth=args.max_depth,
+        max_rounds=args.max_rounds,
+        politeness_salt_buckets=args.salt_buckets,
+    )
+    result = run_crawl(
+        spark, pages, seeds, cfg, checkpoint_dir=args.checkpoint,
+        budgets=budgets, robots=robots, resume=args.resume,
+    )
+    print(json.dumps({"rounds": result.rounds, "metrics": result.metrics}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,83 @@ class TestMisc:
     def test_url_host_keeps_port(self):
         assert url_host("http://h.com:8080/x") == "h.com:8080"
         assert url_host("http://h.com/x") == "h.com"
+
+
+class TestFastCanonicalPredicate:
+    """The native fast path in admission.canonicalize_candidates must only
+    claim URLs for which canonicalize(url) == url (anything else may — and
+    should — fall through to the Python canonicalizer)."""
+
+    def _python_predicate(self, url: str) -> bool:
+        # Python re mirror of admission._FAST_CANONICAL_RE/_DOT_SEGMENT_RE
+        # (both regex dialects agree on these constructs)
+        import re
+
+        from webcrawler_spark.operators.admission import (
+            _DOT_SEGMENT_RE,
+            _FAST_CANONICAL_RE,
+        )
+
+        return bool(re.search(_FAST_CANONICAL_RE, url)) and not re.search(
+            _DOT_SEGMENT_RE, url
+        )
+
+    CORPUS = [
+        "http://www.bml365.com/qy/prod/v/3-17",
+        "https://shop.example.com.cn/a/b?x=1&y=2",
+        "http://h.com/",
+        "http://h.com",                       # no path -> not claimed
+        "HTTP://H.com/x",                     # uppercase -> not claimed
+        "http://h.com:80/x",                  # default port -> not claimed
+        "http://h.com:8080/x",                # any port -> not claimed
+        "http://h.com/a/../b",                # dot segments -> not claimed
+        "http://h.com/a/./b",
+        "http://h.com/a/..",
+        "http://h.com/a/.",
+        "http://h.com/%7Euser/",              # percent -> not claimed
+        "http://h.com/x#frag",                # fragment -> not claimed
+        "http://h.com./x",                    # trailing host dot -> not claimed
+        "http://user@h.com/x",                # userinfo -> not claimed
+        "http://h.com/a b",                   # whitespace -> not claimed
+        " http://h.com/x",
+        "ftp://h.com/x",                      # claimed shape-wise? no: ftp fails ^https?
+        "javascript:void(0)",
+        "http://h.com/a//b",
+        "http://h.com/a/.hidden",
+        "http://h.com/a..b/c",
+        "http://h.com/a?q=./x",
+        "http://192.168.0.1/x",
+    ]
+
+    def test_claimed_urls_are_fixed_points(self):
+        from webcrawler_spark.urlnorm import canonicalize
+
+        claimed = [u for u in self.CORPUS if self._python_predicate(u)]
+        assert claimed, "predicate should claim at least the clean URLs"
+        for u in claimed:
+            assert canonicalize(u) == u, u
+
+    def test_fixture_urls_mostly_claimed(self):
+        from webcrawler_spark.fixtures import generate
+        from webcrawler_spark.urlnorm import canonicalize
+
+        pages, _, _ = generate(n_pages=50, seed=3)
+        for p in pages:
+            u = p["url"]
+            if self._python_predicate(u):
+                assert canonicalize(u) == u, u
+
+    def test_spark_predicate_agrees_with_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_spark.operators.admission import is_definitely_canonical
+
+        df = spark.createDataFrame([(u,) for u in self.CORPUS], "url: string")
+        got = {
+            r["url"]: bool(r["c"])
+            for r in df.select(
+                "url", is_definitely_canonical(F.col("url")).alias("c")
+            ).collect()
+        }
+        for u in self.CORPUS:
+            assert got[u] == self._python_predicate(u), u

@@ -29,15 +29,42 @@ from ..functions.urls import canonicalize_udf
 
 CANDIDATE_COLS = ["url", "url_sha1", "host", "path", "depth", "parent_url", "link_pos"]
 
+# Conservative native test for "definitely already RFC-3986-canonical":
+# lowercase http(s) scheme, lowercase portless host, absolute path with no
+# percent escapes / fragments / whitespace, and no dot segments. URLs that
+# fail the test are not necessarily non-canonical — they just take the
+# Python path. Property-tested against urlnorm.canonicalize in
+# tests/test_urlnorm.py.
+_FAST_CANONICAL_RE = (
+    r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*/[^%#?\s]*(\?[^%#\s]*)?$"
+)
+_DOT_SEGMENT_RE = r"/\.\.?(/|$|\?)"
+
+
+def is_definitely_canonical(url) -> "F.Column":
+    return url.rlike(_FAST_CANONICAL_RE) & ~url.rlike(_DOT_SEGMENT_RE)
+
 
 def canonicalize_candidates(cand: DataFrame) -> DataFrame:
     """raw (url, depth, parent_url, link_pos) -> canonical + derived cols.
 
     Invalid/relative URLs become NULL and are dropped (the reference's
     nil-URL validity check, scheduler.go:536-544).
+
+    Scale shape: most crawl-discovered URLs are already canonical after the
+    parse UDF's urljoin, so a native regex pre-test routes only the
+    suspicious minority through the Arrow/Python canonicalizer — the
+    double scan of the (cheap, columnar) candidate source costs far less
+    than running Python over every URL.
     """
-    out = cand.withColumn("url", canonicalize_udf(F.col("url")))
-    out = out.filter(F.col("url").isNotNull())
+    probe = F.col("url").isNotNull() & is_definitely_canonical(F.col("url"))
+    fast = cand.filter(probe)
+    slow = (
+        cand.filter(~F.coalesce(probe, F.lit(False)))
+        .withColumn("url", canonicalize_udf(F.col("url")))
+        .filter(F.col("url").isNotNull())
+    )
+    out = fast.unionByName(slow)
     return (
         out.withColumn("url_sha1", U.url_sha1(F.col("url")))
         .withColumn("host", U.url_host(F.col("url")))
@@ -51,8 +78,14 @@ def admission_filters(
     max_depth: int,
     robots: DataFrame | None = None,
 ) -> DataFrame:
-    """Pure admission predicates over canonicalized candidates."""
-    out = cand.filter(U.url_scheme(F.col("url")).isin("http", "https"))
+    """Pure admission predicates over canonicalized candidates.
+
+    The scheme test is a prefix match, not a regex — canonicalization
+    already lowercased the scheme (scheduler.go:545 lowercases too), and
+    startswith stays a byte compare inside codegen."""
+    out = cand.filter(
+        F.col("url").startswith("http://") | F.col("url").startswith("https://")
+    )
 
     if robots is not None:
         # robots: (host, disallow_prefixes array<string>) — tiny dim table,
@@ -89,17 +122,20 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
     (the test-and-set race at scheduler.go:551-574), with a deterministic
     winner: min (depth, parent_url, link_pos). Aggregation, not
     dropDuplicates — task order must not pick the winner."""
-    winner = F.min(F.struct("depth", "parent_url", "link_pos")).alias("w")
-    return (
-        cand.groupBy("url_sha1")
-        .agg(F.min("url").alias("url"), F.min("host").alias("host"),
-             F.min("path").alias("path"), winner)
-        .select(
-            "url_sha1", "url", "host", "path",
-            F.col("w.depth").alias("depth"),
-            F.col("w.parent_url").alias("parent_url"),
-            F.col("w.link_pos").alias("link_pos"),
-        )
+    # url/host/path are functions of the group key (url_sha1 = hash(url)),
+    # so one struct-min buffer carries everything — a single aggregate
+    # instead of four, map-side combined.
+    winner = F.min(
+        F.struct("depth", "parent_url", "link_pos", "url", "host", "path")
+    ).alias("w")
+    return cand.groupBy("url_sha1").agg(winner).select(
+        "url_sha1",
+        F.col("w.url").alias("url"),
+        F.col("w.host").alias("host"),
+        F.col("w.path").alias("path"),
+        F.col("w.depth").alias("depth"),
+        F.col("w.parent_url").alias("parent_url"),
+        F.col("w.link_pos").alias("link_pos"),
     )
 
 

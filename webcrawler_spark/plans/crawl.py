@@ -69,6 +69,8 @@ class CrawlConfig:
     max_rounds: int = 20
     parsers: str = "combined"            # "generic" | "bm1365" | "combined"
     use_bloom: bool = True
+    bloom_min_seen: int = 100_000        # below this the exact anti-join is
+                                         # cheaper than building a bloom
     bloom_fpp: float = 0.01
     bloom_shard_bits: int = 0            # raise at 10^10 scale
     politeness_salt_buckets: int | None = None  # enable for hot-host skew
@@ -165,6 +167,10 @@ def run_crawl(
     pages_fetch = pages.select("url", "html")
 
     while rnd <= cfg.max_rounds:
+        # counts on committed parquet are metadata-only (row-group stats) —
+        # the only full passes per round are: admission, the politeness
+        # window, and the fetch-join + parse (each executed exactly once
+        # thanks to the persists below).
         n_candidates = candidates.count()
 
         seen_df = seen if seen is not None else _empty(
@@ -173,8 +179,8 @@ def run_crawl(
 
         prefilter = None
         if cfg.use_bloom and seen is not None:
-            n_seen = seen.count()
-            if n_seen > 0:
+            n_seen = seen.count()  # metadata-only (parquet)
+            if n_seen >= cfg.bloom_min_seen:
                 bloom = ShardedBloom.build(
                     seen, expected_per_shard=max(1024, n_seen * 2),
                     fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
@@ -188,41 +194,17 @@ def run_crawl(
         if cfg.seen_partitions:
             admitted = admitted.repartition(cfg.seen_partitions, "url_sha1")
         admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
-        n_admitted = admitted.count()
 
         queue = deferred.unionByName(admitted)
-        n_queue = n_admitted + deferred.count()
 
         seen_delta = admitted.select(
             "url_sha1", "url", F.lit(rnd).cast("long").alias("first_round")
         )
 
-        if n_queue == 0:
-            stats = {"round": rnd, "candidates": n_candidates, "admitted": 0,
-                     "fetched": 0, "items": 0, "errors": 0, "deferred": 0}
-            store.commit_round(
-                rnd,
-                {
-                    "seen_delta": seen_delta,
-                    "order": _empty(spark, _ORDER_SCHEMA),
-                    "items": _empty(spark, _items_schema()),
-                    "errors": _empty(spark, _ERRORS_SCHEMA),
-                    "lineage": _empty(spark, _LINEAGE_SCHEMA),
-                    "next_candidates": _empty(spark, RAW_CANDIDATE_SCHEMA),
-                    "deferred": _empty(spark, CANDIDATE_SCHEMA),
-                },
-                stats=stats, done=True,
-            )
-            result.metrics.append(stats)
-            admitted.unpersist()
-            result.rounds = rnd + 1
-            return result
-
         fetch_now, deferred_next = assign_fetch_slots(
             queue, budgets, salt_buckets=cfg.politeness_salt_buckets
         )
         fetch_now = fetch_now.persist(StorageLevel.MEMORY_AND_DISK)
-        n_fetch = fetch_now.count()
 
         order = fetch_now.select(
             F.lit(rnd).cast("long").alias("round"), "host", "url", "url_sha1"
@@ -296,9 +278,9 @@ def run_crawl(
         stats = {
             "round": rnd,
             "candidates": n_candidates,
-            "admitted": n_admitted,
-            "fetched": n_fetch,
-            "items": 0,   # filled below after write
+            "admitted": 0,  # filled below from committed parquet metadata
+            "fetched": 0,
+            "items": 0,
             "errors": 0,
             "deferred": 0,
         }
@@ -316,12 +298,17 @@ def run_crawl(
             stats=stats,
         )
 
-        # read back committed data (truncates lineage; cheap local parquet)
+        # post-commit stats: metadata-only counts on the committed parquet
+        n_admitted = store.read(spark, rnd, "seen_delta").count()
+        n_fetch = store.read(spark, rnd, "order").count()
         items_c = store.read(spark, rnd, "items").count()
         errors_c = store.read(spark, rnd, "errors").count()
         deferred = store.read(spark, rnd, "deferred")
         deferred_c = deferred.count()
-        stats.update({"items": items_c, "errors": errors_c, "deferred": deferred_c})
+        stats.update({"admitted": n_admitted, "fetched": n_fetch,
+                      "items": items_c, "errors": errors_c,
+                      "deferred": deferred_c})
+        store.update_stats(rnd, stats)
         result.metrics.append(stats)
 
         candidates = store.read(spark, rnd, "next_candidates")

@@ -78,6 +78,19 @@ class RoundStore:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(rnd))
 
+    def update_stats(self, rnd: int, stats: dict) -> None:
+        """Replace the stats block of a committed round (atomic rewrite).
+
+        Row counts are cheapest to read from the committed parquet metadata
+        AFTER the commit; this folds them back into the manifest so resume
+        sees complete lineage."""
+        manifest = self.manifest(rnd)
+        manifest["stats"] = stats
+        tmp = self._manifest_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(rnd))
+
     # -- resume ------------------------------------------------------------
     def committed_rounds(self) -> list[int]:
         out = []
