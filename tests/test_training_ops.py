@@ -1,0 +1,221 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal) on small hand-checkable inputs.
+
+Cross-engine value parity with DuckDB is covered by the driver contract
+(tools/check_contract.py over __spark_entry__); these tests pin the
+*semantics* independently of any oracle engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy cat", "a"),   # near-dup of 0
+        (2, "completely different words entirely here now", "a"),
+        (3, "the quick brown fox jumps over the lazy dog", "b"),   # exact dup of 0
+        (4, "der hund und die katze und das haus", "b"),
+        (5, "le chat est dans la maison et le chien", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a  bb\tccc\ndddd"), (2, ""), (3, "  x  ")],
+            "id: long, text: string",
+        )
+        got = {
+            r["id"]: (r["n"], r["m"])
+            for r in df.select(
+                "id",
+                textstats.token_count(F.col("text")).alias("n"),
+                textstats.mean_word_len(F.col("text")).alias("m"),
+            ).collect()
+        }
+        assert got[1] == (4, 2.5)
+        assert got[2] == (0, 0.0)
+        assert got[3] == (1, 1.0)
+
+    def test_bpe_tokens_split_digits_and_punct(self, spark):
+        df = spark.createDataFrame([(1, "ab12, cd!")], "id: long, text: string")
+        n = df.select(textstats.bpe_token_count(F.col("text")).alias("n")).head()["n"]
+        # ab | 1 | 2 | , | cd | !
+        assert n == 6
+
+    def test_lang_id_markers(self, docs):
+        got = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select(
+                "doc_id", textstats.lang_id(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert got[0] == "en"
+        assert got[4] == "de"
+        assert got[5] == "fr"
+        assert got[2] == "und"  # no marker hits
+
+    def test_quality_range_and_monotonicity(self, docs):
+        rows = docs.select(
+            textstats.quality_score(F.col("text")).alias("q")
+        ).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+    def test_fingerprint_matches_reference_impl(self, spark):
+        text = "hello world"
+        fp = 0
+        for ch in text:
+            fp = (fp * textstats.FP_BASE + ord(ch)) % textstats.FP_MOD
+        df = spark.createDataFrame([(1, text)], "id: long, text: string")
+        got = df.select(textstats.fingerprint(F.col("text")).alias("f")).head()["f"]
+        assert got == fp
+
+
+class TestDedup:
+    def test_exact_groups_and_keeper(self, docs):
+        groups = {
+            r["content_hash"]: (r["n_copies"], r["keeper_id"])
+            for r in dedup.exact_dedup_groups(docs).collect()
+        }
+        dup_hash = hashlib.md5(
+            b"the quick brown fox jumps over the lazy dog"
+        ).hexdigest()
+        assert groups[dup_hash] == (2, 0)  # docs 0 and 3; keeper = min id
+        assert len(groups) == 5
+
+    def test_drop_exact_dups_keeps_keeper_rows(self, docs):
+        kept = sorted(r["doc_id"] for r in dedup.drop_exact_dups(docs).collect())
+        assert kept == [0, 1, 2, 4, 5]
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "id: long, text: string")
+        sh = df.select(dedup.shingles(F.col("text"), 3).alias("s")).head()["s"]
+        assert sorted(sh) == ["a b c", "b c d"]
+        short = spark.createDataFrame([(1, "a b")], "id: long, text: string")
+        assert short.select(dedup.shingles(F.col("text"), 3).alias("s")).head()["s"] == []
+
+    def test_jaccard_pairs_value(self, docs):
+        pairs = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(
+                docs, block_col="source", n=3, threshold=0.0
+            ).collect()
+        }
+        # docs 0/1 in block a: 9 tokens -> 7 shingles each, 6 shared
+        assert pairs[(0, 1)] == round(6 / (7 + 7 - 6), 6)
+        assert (0, 3) not in pairs  # different blocks
+
+    def test_minhash_identical_docs_collide(self, docs):
+        sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(12))
+                for r in dedup.minhash_signatures(docs, k=12).collect()}
+        assert sigs[0] == sigs[3]  # exact dups -> identical signatures
+        assert sigs[0] != sigs[2]
+        pairs = dedup.minhash_lsh_pairs(docs, k=12, bands=4, threshold=0.0)
+        got = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+        assert got[(0, 3)] == 1.0
+        # recall for the 0.75-Jaccard pair with single-row bands: any shared
+        # minhash component produces the candidate (miss prob 0.25^12)
+        pairs1 = dedup.minhash_lsh_pairs(docs, k=12, bands=12, threshold=0.0)
+        got1 = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs1.collect()}
+        assert got1[(0, 1)] == 0.75
+
+    def test_simhash_identical_and_near(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert sh[0] == sh[3]
+        assert 0 <= sh[0] < (1 << 16)
+        pairs = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in dedup.simhash_pairs(
+                docs, block_col=None, max_hamming=16
+            ).collect()
+        }
+        assert pairs[(0, 3)] == 0
+        assert pairs[(0, 1)] <= pairs.get((0, 2), 16)  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),     # identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),     # orthogonal to 0
+        (3, [0.9, 0.1, 0.0, 0.0], 0),     # close to 0
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),    # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+class TestSimilarity:
+    def test_bruteforce_topk(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = similarity.topk_bruteforce(vectors, q, k=4)
+        rows = sorted((r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out.collect())
+        assert rows[0][1] == 1 and rows[0][2] == 1.0          # identical first
+        assert [r[1] for r in rows] == [1, 3, 2, 4]           # by cosine desc
+        assert rows[3][2] == -1.0
+
+    def test_lsh_bucket_recall(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = similarity.topk_lsh(vectors, q, k=4, nbits=4)
+        ids = {r["neighbor_id"] for r in out.collect()}
+        # 4 (negative first component) lands in another bucket; 1 and 3 share
+        assert 1 in ids and 3 in ids and 4 not in ids
+
+    def test_embedding_neardup(self, vectors):
+        pairs = {
+            (r["id1"], r["id2"]): r["cos_sim"]
+            for r in dedup.embedding_neardup_pairs(
+                vectors, block_col="label", threshold=0.9
+            ).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 2) not in pairs
+        assert (0, 4) not in pairs  # different label block
+
+
+class TestMultimodal:
+    def test_fixture_header_decode(self, spark):
+        payloads = [
+            (1, b"IMG:320:240:jpg:" + b"P" * 100),
+            (2, b"\x89PNG not really"),
+        ]
+        df = spark.createDataFrame(payloads, "id: long, payload: binary")
+        meta = {r["id"]: r for r in multimodal.decode_meta(df).collect()}
+        assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (320, 240, "jpg")
+        assert meta[1]["byte_len"] == 116
+        n = meta[2]["byte_len"]
+        assert (meta[2]["width"], meta[2]["height"], meta[2]["format"]) == (
+            1 + n % 640, 1 + n % 480, "bin",
+        )
+        assert meta[1]["content_md5"] == hashlib.md5(payloads[0][1]).hexdigest()
+
+    def test_resize_plan_aspect(self, spark):
+        df = spark.createDataFrame(
+            [(1, 640, 480), (2, 100, 50)], "id: long, width: int, height: int"
+        )
+        out = {r["id"]: (r["target_width"], r["target_height"])
+               for r in multimodal.resize_plan(df, max_side=256).collect()}
+        assert out[1] == (256, 192)   # scaled by 256/640
+        assert out[2] == (100, 50)    # never upscaled
+
+    def test_real_decode_is_marked_seam(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real(b"IMG:1:1:jpg:x")
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame([(1, 30 * 1024)], "id: long, byte_len: long")
+        out = multimodal.frame_sample_plan(df, every_n=10, fps=30).collect()
+        idxs = sorted(r["frame_idx"] for r in out)
+        assert idxs == [0, 10, 20]
+        ts = {r["frame_idx"]: r["frame_ts_s"] for r in out}
+        assert ts[10] == round(10 / 30.0, 4)

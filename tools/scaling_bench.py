@@ -90,8 +90,8 @@ def main() -> None:
 
     report: dict = {"config": vars(args), "workloads": {}}
     for name, snippet in (
-        ("frontier", _FRONTIER_SNIPPET.format(n=args.frontier_n)),
-        ("crawl", _CRAWL_SNIPPET.format(n=args.crawl_pages)),
+        ("frontier", _FRONTIER_SNIPPET.replace("{n}", str(args.frontier_n))),
+        ("crawl", _CRAWL_SNIPPET.replace("{n}", str(args.crawl_pages))),
     ):
         cells = {}
         for cores in (8, 32):
