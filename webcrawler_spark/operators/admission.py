@@ -122,20 +122,34 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
     (the test-and-set race at scheduler.go:551-574), with a deterministic
     winner: min (depth, parent_url, link_pos). Aggregation, not
     dropDuplicates — task order must not pick the winner."""
-    # url/host/path are functions of the group key (url_sha1 = hash(url)),
-    # so one struct-min buffer carries everything — a single aggregate
-    # instead of four, map-side combined.
-    winner = F.min(
-        F.struct("depth", "parent_url", "link_pos", "url", "host", "path")
-    ).alias("w")
-    return cand.groupBy("url_sha1").agg(winner).select(
-        "url_sha1",
-        F.col("w.url").alias("url"),
-        F.col("w.host").alias("host"),
-        F.col("w.path").alias("path"),
-        F.col("w.depth").alias("depth"),
-        F.col("w.parent_url").alias("parent_url"),
-        F.col("w.link_pos").alias("link_pos"),
+    # min(struct(...)) forces SortAggregate (struct buffers aren't hash-agg
+    # mutable) — on the frontier's primary shuffle that's a per-partition
+    # sort at 10^10 scale. Packing the ordering into ONE string keeps the
+    # whole dedup in codegen'd HashAggregate with map-side combine:
+    #   packed = lpad(depth) \x00 parent_url \x00 lpad(link_pos)
+    # String compare == field-wise compare because depth/link_pos are
+    # fixed-width zero-padded and \x00 sorts below every URL character
+    # (so a shorter parent_url wins against its extensions, exactly like
+    # struct comparison). url/host/path are 1:1 with the group key, so
+    # plain min() carries them.
+    packed = F.concat_ws(
+        "\x00",
+        F.lpad(F.col("depth").cast("string"), 19, "0"),
+        F.coalesce(F.col("parent_url"), F.lit("")),  # concat_ws drops nulls
+        F.lpad(F.col("link_pos").cast("string"), 19, "0"),
+    )
+    agg = cand.groupBy("url_sha1").agg(
+        F.min("url").alias("url"),
+        F.min("host").alias("host"),
+        F.min("path").alias("path"),
+        F.min(packed).alias("_w"),
+    )
+    parts = F.split(F.col("_w"), "\x00")
+    return agg.select(
+        "url_sha1", "url", "host", "path",
+        F.element_at(parts, 1).cast("long").alias("depth"),
+        F.element_at(parts, 2).alias("parent_url"),
+        F.element_at(parts, 3).cast("long").alias("link_pos"),
     )
 
 
