@@ -121,7 +121,10 @@ def run_frontier_workload(
         t0 = time.time()
         cand = spark.read.parquet(cand_path)
         seen = spark.read.parquet(seen_path)
-        admitted = admission.admit(cand, seen, WHITELIST, max_depth=max_depth)
+        scratch: list = []
+        admitted = admission.admit(
+            cand, seen, WHITELIST, max_depth=max_depth, scratch=scratch
+        )
         r = ranked(admitted).join(
             F.broadcast(budgets.select(F.col("host").alias("_b_host"),
                                        F.col("budget_per_round").alias("_budget"))),
@@ -132,6 +135,8 @@ def run_frontier_workload(
             F.sum(F.when(F.col("slot_rank") <= F.col("_budget"), 1).otherwise(0)).alias("fetch_now"),
         ).collect()[0]
         wall = time.time() - t0
+        for df in scratch:
+            df.unpersist()
     finally:
         if own_workdir:
             shutil.rmtree(workdir, ignore_errors=True)

@@ -106,22 +106,12 @@ class TestMisc:
 
 class TestFastCanonicalPredicate:
     """The native fast path in admission.canonicalize_candidates must only
-    claim URLs for which canonicalize(url) == url (anything else may — and
-    should — fall through to the Python canonicalizer)."""
-
-    def _python_predicate(self, url: str) -> bool:
-        # Python re mirror of admission._FAST_CANONICAL_RE/_DOT_SEGMENT_RE
-        # (both regex dialects agree on these constructs)
-        import re
-
-        from webcrawler_spark.operators.admission import (
-            _DOT_SEGMENT_RE,
-            _FAST_CANONICAL_RE,
-        )
-
-        return bool(re.search(_FAST_CANONICAL_RE, url)) and not re.search(
-            _DOT_SEGMENT_RE, url
-        )
+    claim URLs that are FIXED POINTS of canonicalize (anything else may —
+    and should — fall through to the Python canonicalizer). The regex pair
+    _FAST_CANONICAL_RE/_DOT_SEGMENT_RE is the original semantic spec; the
+    shipping predicate is byte-scan based and claims a superset (e.g.
+    underscore hosts, multiple '?', dot segments confined to the query),
+    every member of which must still be a fixed point."""
 
     CORPUS = [
         "http://www.bml365.com/qy/prod/v/3-17",
@@ -141,44 +131,71 @@ class TestFastCanonicalPredicate:
         "http://user@h.com/x",                # userinfo -> not claimed
         "http://h.com/a b",                   # whitespace -> not claimed
         " http://h.com/x",
-        "ftp://h.com/x",                      # claimed shape-wise? no: ftp fails ^https?
+        "ftp://h.com/x",
         "javascript:void(0)",
         "http://h.com/a//b",
         "http://h.com/a/.hidden",
         "http://h.com/a..b/c",
-        "http://h.com/a?q=./x",
+        "http://h.com/a?q=./x",               # dot segment in query only: claimable
+        "http://h.com/a?x=1?y=2",             # multiple '?': claimable
+        "http://h_x.com/a",                   # underscore host: claimable
         "http://192.168.0.1/x",
+        "http://héllo.example/x",             # non-ASCII host -> not claimed
+        "http://h.com?q=1",                   # query but no path -> not claimed
+        "http://h.com/#",
+        "http:///x",                          # empty host -> not claimed
     ]
 
-    def test_claimed_urls_are_fixed_points(self):
-        from webcrawler_spark.urlnorm import canonicalize
-
-        claimed = [u for u in self.CORPUS if self._python_predicate(u)]
-        assert claimed, "predicate should claim at least the clean URLs"
-        for u in claimed:
-            assert canonicalize(u) == u, u
-
-    def test_fixture_urls_mostly_claimed(self):
-        from webcrawler_spark.fixtures import generate
-        from webcrawler_spark.urlnorm import canonicalize
-
-        pages, _, _ = generate(n_pages=50, seed=3)
-        for p in pages:
-            u = p["url"]
-            if self._python_predicate(u):
-                assert canonicalize(u) == u, u
-
-    def test_spark_predicate_agrees_with_python(self, spark):
+    def _spark_claims(self, spark):
         from pyspark.sql import functions as F
 
         from webcrawler_spark.operators.admission import is_definitely_canonical
 
         df = spark.createDataFrame([(u,) for u in self.CORPUS], "url: string")
-        got = {
+        return {
             r["url"]: bool(r["c"])
             for r in df.select(
                 "url", is_definitely_canonical(F.col("url")).alias("c")
             ).collect()
         }
+
+    def test_claimed_urls_are_fixed_points(self, spark):
+        from webcrawler_spark.urlnorm import canonicalize
+
+        claims = self._spark_claims(spark)
+        claimed = [u for u, c in claims.items() if c]
+        assert claimed, "predicate should claim at least the clean URLs"
+        for u in claimed:
+            assert canonicalize(u) == u, u
+
+    def test_claims_superset_of_regex_spec(self, spark):
+        import re as _re
+
+        from webcrawler_spark.operators.admission import (
+            _DOT_SEGMENT_RE,
+            _FAST_CANONICAL_RE,
+        )
+
+        claims = self._spark_claims(spark)
         for u in self.CORPUS:
-            assert got[u] == self._python_predicate(u), u
+            spec = bool(_re.search(_FAST_CANONICAL_RE, u)) and not _re.search(
+                _DOT_SEGMENT_RE, u
+            )
+            if spec:
+                assert claims[u], f"regex spec claims {u} but native does not"
+
+    def test_fixture_urls_fixed_points_when_claimed(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_spark.fixtures import generate
+        from webcrawler_spark.operators.admission import is_definitely_canonical
+        from webcrawler_spark.urlnorm import canonicalize
+
+        pages, _, _ = generate(n_pages=50, seed=3)
+        urls = sorted({p["url"] for p in pages})
+        df = spark.createDataFrame([(u,) for u in urls], "url: string")
+        for r in df.select(
+            "url", is_definitely_canonical(F.col("url")).alias("c")
+        ).collect():
+            if r["c"]:
+                assert canonicalize(r["url"]) == r["url"], r["url"]

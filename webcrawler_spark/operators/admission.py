@@ -29,20 +29,54 @@ from ..functions.urls import canonicalize_udf
 
 CANDIDATE_COLS = ["url", "url_sha1", "host", "path", "depth", "parent_url", "link_pos"]
 
-# Conservative native test for "definitely already RFC-3986-canonical":
-# lowercase http(s) scheme, lowercase portless host, absolute path with no
-# percent escapes / fragments / whitespace, and no dot segments. URLs that
-# fail the test are not necessarily non-canonical — they just take the
-# Python path. Property-tested against urlnorm.canonicalize in
+# Conservative test for "definitely already RFC-3986-canonical":
+# lowercase http(s) scheme, lowercase port/userinfo-free host, absolute
+# path with no percent escapes / fragments / whitespace / dot segments.
+# URLs that fail the test are not necessarily non-canonical — they just
+# take the Python path. Property-tested (fixed-point guarantee) in
 # tests/test_urlnorm.py.
+#
+# Built from substring/instr byte scans, NOT regex: java.util.regex
+# allocates a Matcher + String per row, which stops scaling past ~8
+# threads (allocation-bandwidth bound) — measured 4-7x slower than this
+# form at local[32]. The equivalent regex is kept in the test suite as the
+# semantic spec.
 _FAST_CANONICAL_RE = (
     r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*/[^%#?\s]*(\?[^%#\s]*)?$"
 )
 _DOT_SEGMENT_RE = r"/\.\.?(/|$|\?)"
 
 
+def _contains_none(col, needles: list[str]):
+    out = F.lit(True)
+    for n in needles:
+        out = out & (F.instr(col, n) == 0)
+    return out
+
+
 def is_definitely_canonical(url) -> "F.Column":
-    return url.rlike(_FAST_CANONICAL_RE) & ~url.rlike(_DOT_SEGMENT_RE)
+    scheme_ok = url.startswith("http://") | url.startswith("https://")
+    rest = F.substring_index(url, "://", -1)
+    host = F.substring_index(rest, "/", 1)
+    path_q = F.substring(rest, F.length(host) + 1, F.lit(1 << 30))
+    path = F.substring_index(path_q, "?", 1)
+    host_ok = (
+        (host != "")
+        & (F.instr(rest, "/") > 0)              # absolute path present
+        & (F.octet_length(host) == F.length(host))  # ASCII-only host: JVM
+        # and Python lowercase agree exactly on ASCII, so the next check
+        # is engine-independent
+        & (host == F.lower(host))               # no uppercase anywhere
+        & _contains_none(host, [":", "@", "?", "#"])
+        & ~host.endswith(".")
+    )
+    pq_ok = _contains_none(path_q, ["%", "#", " ", "\t", "\n", "\r", "\x0b", "\x0c"])
+    no_dot_segments = (
+        _contains_none(path, ["/./", "/../"])
+        & ~path.endswith("/.")
+        & ~path.endswith("/..")
+    )
+    return scheme_ok & host_ok & pq_ok & no_dot_segments
 
 
 def canonicalize_candidates(cand: DataFrame) -> DataFrame:
@@ -65,10 +99,12 @@ def canonicalize_candidates(cand: DataFrame) -> DataFrame:
         .filter(F.col("url").isNotNull())
     )
     out = fast.unionByName(slow)
+    # both branches now hold canonical urls — host/path via byte scans,
+    # no per-row regex
     return (
         out.withColumn("url_sha1", U.url_sha1(F.col("url")))
-        .withColumn("host", U.url_host(F.col("url")))
-        .withColumn("path", U.url_path(F.col("url")))
+        .withColumn("host", U.url_host_canonical(F.col("url")))
+        .withColumn("path", U.url_path_canonical(F.col("url")))
     )
 
 
@@ -112,7 +148,17 @@ def admission_filters(
             .drop("_r_host", "_r_prefixes")
         )
 
-    out = out.filter(U.primary_domain(F.col("host")).isin(whitelist))
+    # Whitelist: the primary-domain extraction is the one genuinely
+    # regex-bound step, so it runs once per DISTINCT host, not once per
+    # URL — a semi-join on the (small relative to the frontier) host set.
+    # At 10^10 URLs the distinct-host aggregation is a partial-agg shuffle
+    # of short strings; the join back is host-keyed (AQE broadcasts it
+    # when the host set is small).
+    ok_hosts = (
+        out.select("host").distinct()
+        .filter(U.primary_domain(F.col("host")).isin(whitelist))
+    )
+    out = out.join(ok_hosts, on="host", how="left_semi")
     out = out.filter(F.col("depth") <= F.lit(max_depth))
     return out
 
@@ -167,13 +213,25 @@ def admit(
     max_depth: int,
     robots: DataFrame | None = None,
     bloom_prefilter=None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Full admission: returns the admitted frontier rows for this round.
 
     bloom_prefilter: optional callable df -> (probably_new_df, definitely_new_df)
     from operators/bloom.py; definite-new rows skip the exact anti-join.
+
+    scratch: optional list the canonicalized intermediate is persisted into.
+    The whitelist's distinct-host semi-join branches the plan, and without
+    a persist both branches recompute the canonicalize union (incl. the
+    Python UDF). Callers pass a list and unpersist its entries AFTER the
+    admitted frame is materialized.
     """
     cand = canonicalize_candidates(cand_raw)
+    if scratch is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(cand)
     cand = admission_filters(cand, whitelist, max_depth, robots=robots)
     cand = dedup_in_round(cand)
     if bloom_prefilter is not None:

@@ -75,6 +75,10 @@ class CrawlConfig:
     bloom_shard_bits: int = 0            # raise at 10^10 scale
     politeness_salt_buckets: int | None = None  # enable for hot-host skew
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
+    parse_partitions: int | str | None = "auto"  # widen the parse stage:
+    # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
+    # per-ROW cpu — small pages would leave most cores idle. "auto" =
+    # defaultParallelism, int = exact, None = trust AQE (large-blob case)
 
 
 @dataclass
@@ -187,9 +191,10 @@ def run_crawl(
                 )
                 prefilter = bloom_split(spark, bloom)
 
+        scratch: list = []
         admitted = admission.admit(
             candidates, seen_df, cfg.whitelist, cfg.max_depth,
-            robots=robots, bloom_prefilter=prefilter,
+            robots=robots, bloom_prefilter=prefilter, scratch=scratch,
         )
         if cfg.seen_partitions:
             admitted = admitted.repartition(cfg.seen_partitions, "url_sha1")
@@ -234,6 +239,13 @@ def run_crawl(
         html_pages = fetched.filter(
             (F.col("status") == 200) & F.col("content_type").startswith("text/html")
         ).select("url", "host", "depth", "html")
+
+        if cfg.parse_partitions == "auto":
+            html_pages = html_pages.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        elif isinstance(cfg.parse_partitions, int):
+            html_pages = html_pages.repartition(cfg.parse_partitions)
 
         parsed = html_pages.withColumn(
             "p", parse_html_udf(F.col("html"), F.col("url"))
@@ -314,6 +326,8 @@ def run_crawl(
         candidates = store.read(spark, rnd, "next_candidates")
         seen = store.read_all(spark, "seen_delta", upto=rnd)
 
+        for df in scratch:  # safe: admitted materialized during commit
+            df.unpersist()
         admitted.unpersist()
         fetch_now.unpersist()
         fetched.unpersist()
