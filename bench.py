@@ -69,6 +69,16 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # ---- fetch+parse mega round (pages-fetched/sec, unthrottled) --------
+    # the crawl above is politeness-throttled + checkpointed by design;
+    # this measures raw fetch-join + HTML-parse capacity (the north metric)
+    from jobs.parse_bench import run_parse_workload
+
+    n_parse = int(os.environ.get("SPARK_GRAFT_PARSE_PAGES", "30000"))
+    run_parse_workload(spark, 2000)  # warm
+    pw = run_parse_workload(spark, n_parse)
+    timings["parse_fetch"] = pw["wall_s"]
+
     # ---- synthetic frontier (frontier-URLs/sec) -------------------------
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "1000000"))
     run_frontier_workload(spark, 100_000)  # warm codegen/JIT, untimed
@@ -107,10 +117,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "pages_per_sec": pages_per_sec,
+        "pages_per_sec": pw["pages_per_sec"],
+        "crawl_pages_per_sec_throttled": pages_per_sec,
         "crawl_frontier_urls_per_sec": crawl_urls_per_sec,
         "frontier_urls_per_sec": fw["urls_per_sec"],
         "frontier_n": n_frontier,
+        "parse_pages": pw["pages_parsed"],
     }
     spark.stop()
     print(json.dumps(out))
