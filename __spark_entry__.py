@@ -169,6 +169,40 @@ WHERE rn = 1 AND md5(url) NOT IN (SELECT url_md5 FROM seen)
 """
 
 
+def q_seed_list_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-list JSON decode (InitReqList, exampes/finder/bm1365Model/
+    JcUx.go:47-85): the listing API's JSON body -> from_json with
+    page:struct<list:array<struct<create_id,id>>> -> exploded product URLs
+    at depth 0 (URL shape of JcUx.go:72-73)."""
+    orders = _t(spark, sf_dir, "orders")
+    k1 = F.col("o_custkey").cast("string")
+    i1 = F.col("o_orderkey").cast("string")
+    k2 = (F.col("o_custkey") + 1).cast("string")
+    i2 = (F.col("o_orderkey") + 1).cast("string")
+    js = F.concat(
+        F.lit('{"page":{"list":[{"create_id":'), k1, F.lit(',"id":'), i1,
+        F.lit('},{"create_id":'), k2, F.lit(',"id":'), i2, F.lit("}]}}"),
+    )
+    schema = "page struct<list: array<struct<create_id: double, id: double>>>"
+    parsed = orders.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.from_json(js, schema).alias("j"),
+    )
+    ex = parsed.select(
+        "okey", F.explode(F.col("j.page.list")).alias("s")
+    )
+    return ex.select(
+        "okey",
+        F.concat(
+            F.lit("http://www.bml365.com/qy/prod/v/"),
+            F.col("s.create_id").cast("long").cast("string"),
+            F.lit("-"),
+            F.col("s.id").cast("long").cast("string"),
+        ).alias("url"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+
+
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The urlMap test-and-set as relational algebra (scheduler.go:551-574):
     left_anti of candidates vs seen — here customers with no orders."""
@@ -763,6 +797,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_admission": q_frontier_admission,
+        "seed_list_decode": q_seed_list_decode,
         "seen_anti_join": q_seen_anti_join,
         "politeness_topk": q_politeness_topk,
         "host_counts": q_host_counts,
@@ -791,6 +826,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "frontier_admission": _sql_frontier_admission(),
+        "seed_list_decode": """
+            WITH src AS (
+              SELECT o_orderkey::BIGINT AS okey,
+                     '{"page":{"list":[{"create_id":' || o_custkey::VARCHAR ||
+                     ',"id":' || o_orderkey::VARCHAR ||
+                     '},{"create_id":' || (o_custkey + 1)::VARCHAR ||
+                     ',"id":' || (o_orderkey + 1)::VARCHAR || '}]}}' AS js
+              FROM orders
+            ), ex AS (
+              SELECT okey, unnest(json_extract(js, '$.page.list[*]')) AS s
+              FROM src
+            )
+            SELECT okey,
+                   'http://www.bml365.com/qy/prod/v/' ||
+                   (json_extract_string(s, '$.create_id')::DOUBLE::BIGINT)::VARCHAR ||
+                   '-' ||
+                   (json_extract_string(s, '$.id')::DOUBLE::BIGINT)::VARCHAR AS url,
+                   0::BIGINT AS depth
+            FROM ex
+        """,
         "seen_anti_join": """
             SELECT c_custkey::BIGINT AS c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
