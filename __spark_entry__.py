@@ -499,11 +499,12 @@ def _sql_dedup_jaccard() -> str:
 def _sql_dedup_minhash_lsh(k: int = 12, bands: int = 4) -> str:
     rows = k // bands
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(k)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
-        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ", ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
         + ")) AS band_key FROM sigs"
         for b in range(bands)
     )

@@ -15,7 +15,7 @@ from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
 
 
 def _run_both(spark, fixture_web, tmp_path, parsers, with_politeness, use_bloom=True,
-              salt_buckets=None):
+              salt_buckets=None, bloom_min_seen=None):
     paths = fixture_web["paths"]
     pages_df = spark.read.parquet(paths["pages"])
     seeds_df = spark.read.parquet(paths["seeds"])
@@ -41,6 +41,8 @@ def _run_both(spark, fixture_web, tmp_path, parsers, with_politeness, use_bloom=
         whitelist=WHITELIST, max_depth=3, max_rounds=12, parsers=parsers,
         use_bloom=use_bloom, politeness_salt_buckets=salt_buckets,
     )
+    if bloom_min_seen is not None:
+        cfg.bloom_min_seen = bloom_min_seen
     result = run_crawl(
         spark, pages_df, seeds_df, cfg,
         checkpoint_dir=str(tmp_path / f"ckpt_{parsers}_{with_politeness}"),
@@ -157,6 +159,9 @@ def test_errors_match(spark, fixture_web, tmp_path):
 def test_bloom_never_loses_urls(spark, fixture_web, tmp_path):
     """bloom 'maybe-seen' still passes the exact anti-join: results with and
     without the bloom prefilter are identical."""
+    # bloom_min_seen=1 forces the prefilter on at fixture scale (the
+    # default threshold would silently skip it and no-op this test)
     golden_a, with_bloom = _run_both(spark, fixture_web, tmp_path, "combined",
-                                     with_politeness=False, use_bloom=True)
+                                     with_politeness=False, use_bloom=True,
+                                     bloom_min_seen=1)
     _assert_match(spark, golden_a, with_bloom)

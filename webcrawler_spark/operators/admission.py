@@ -168,16 +168,19 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
     (the test-and-set race at scheduler.go:551-574), with a deterministic
     winner: min (depth, parent_url, link_pos). Aggregation, not
     dropDuplicates — task order must not pick the winner."""
-    # min(struct(...)) forces SortAggregate (struct buffers aren't hash-agg
-    # mutable) — on the frontier's primary shuffle that's a per-partition
-    # sort at 10^10 scale. Packing the ordering into ONE string keeps the
-    # whole dedup in codegen'd HashAggregate with map-side combine:
+    # Winner ordering packed into ONE string:
     #   packed = lpad(depth) \x00 parent_url \x00 lpad(link_pos)
     # String compare == field-wise compare because depth/link_pos are
     # fixed-width zero-padded and \x00 sorts below every URL character
     # (so a shorter parent_url wins against its extensions, exactly like
     # struct comparison). url/host/path are 1:1 with the group key, so
     # plain min() carries them.
+    # NB: min over strings still executes as SortAggregate (UnsafeRow hash
+    # buffers are fixed-width only) — unavoidable while the tie-break
+    # includes parent_url; partial aggregation still combines map-side, so
+    # the shuffle moves one row per (partition, url_sha1). A fully numeric
+    # tie-break (hash of parent) would enable HashAggregate at the cost of
+    # a 2^-64 nondeterminism; not worth it for the frontier's semantics.
     packed = F.concat_ws(
         "\x00",
         F.lpad(F.col("depth").cast("string"), 19, "0"),

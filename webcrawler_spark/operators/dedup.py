@@ -10,9 +10,11 @@ Five strategies over the ``documents`` table, each Spark-first:
 * MinHash+LSH — k min-hashes per doc from ONE explode + k min-aggregates
                 (single shuffle), banded into b buckets; candidate pairs
                 come from a bucket equi-join, then verified with true
-                Jaccard. The min-hash is ``min(md5(seed || '|' || shingle))``
-                — lexicographic min over md5 hex strings is a uniform
-                min-hash and is bit-identical in any engine with md5.
+                Jaccard. The min-hash value is the first 15 hex digits of
+                ``md5(seed || '|' || shingle)`` as a BIGINT — numeric so
+                the k min-aggregates stay in codegen'd HashAggregate
+                (string buffers would force SortAggregate), uniform, and
+                bit-identical in any engine with md5 + hex→int.
 * SimHash     — 16-bit signature from per-token md5 nibbles, computed as 16
                 conditional sums in a single groupBy (no bit-position
                 explode ⇒ one shuffle); near-dup pairs via
@@ -148,11 +150,17 @@ def minhash_signatures(
     k: int = 12,
     n: int = 3,
 ) -> DataFrame:
-    """(id, h0..h{k-1}): k lexicographic-min md5 hashes from ONE explode and
-    ONE shuffle (k min-aggregates run map-side-partial)."""
+    """(id, h0..h{k-1}): k numeric min-hashes from ONE explode and ONE
+    shuffle — BIGINT buffers keep all k min-aggregates in HashAggregate
+    with map-side combine."""
     ex = _exploded_shingles(df, id_col, text_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
+                16, 10,
+            ).cast("long")
+        ).alias(f"h{i}")
         for i in range(k)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -165,7 +173,10 @@ def lsh_bands(
     band. A pair collides iff all r components of some band match."""
     rows = []
     for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         rows.append(
             F.struct(
                 F.lit(b).alias("band_id"),
