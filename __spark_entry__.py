@@ -203,6 +203,19 @@ def q_seed_list_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_round_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical global round ordering + top-k (SURVEY §2.7 sorts/limits:
+    ORDER BY depth, host, url — the deterministic within-round order the
+    crawl commits). TakeOrderedAndProject in Spark; keys are unique so the
+    limit is well-defined cross-engine."""
+    out = q_frontier_admission(spark, sf_dir)
+    return (
+        out.orderBy(F.col("depth").asc(), F.col("host").asc(), F.col("url").asc())
+        .limit(100)
+        .select("depth", "host", "url")
+    )
+
+
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The urlMap test-and-set as relational algebra (scheduler.go:551-574):
     left_anti of candidates vs seen — here customers with no orders."""
@@ -799,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_admission": q_frontier_admission,
         "seed_list_decode": q_seed_list_decode,
+        "round_order_topk": q_round_order_topk,
         "seen_anti_join": q_seen_anti_join,
         "politeness_topk": q_politeness_topk,
         "host_counts": q_host_counts,
@@ -846,6 +860,12 @@ def oracle_sql() -> dict[str, str]:
                    (json_extract_string(s, '$.id')::DOUBLE::BIGINT)::VARCHAR AS url,
                    0::BIGINT AS depth
             FROM ex
+        """,
+        "round_order_topk": f"""
+            WITH admitted AS ({_sql_frontier_admission()})
+            SELECT depth, host, url FROM admitted
+            ORDER BY depth ASC, host ASC, url ASC
+            LIMIT 100
         """,
         "seen_anti_join": """
             SELECT c_custkey::BIGINT AS c_custkey, c_name FROM customer
