@@ -403,10 +403,14 @@ def _sql_lang_id() -> str:
 
 
 def _sql_fingerprint() -> str:
+    # CASE guard: DuckDB list_reduce raises on an empty list, while Spark's
+    # zero-initialized F.aggregate returns 0 for empty text — mirror that.
     return f"""
 SELECT doc_id::BIGINT AS doc_id,
-       list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
-                   (a, b) -> (a * {textstats.FP_BASE} + b) % {textstats.FP_MOD})::BIGINT AS fp
+       (CASE WHEN length(text) = 0 THEN 0 ELSE
+        list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                    (a, b) -> (a * {textstats.FP_BASE} + b) % {textstats.FP_MOD})
+        END)::BIGINT AS fp
 FROM documents
 """
 
@@ -729,7 +733,7 @@ FROM meta
 _SQL_FRAMES = """
 WITH meta AS (
   SELECT doc_id::BIGINT AS id,
-         greatest(1, (octet_length(encode(text)) / 1024)::INT) AS n_frames
+         greatest(1, octet_length(encode(text)) // 1024) AS n_frames
   FROM documents
 )
 SELECT id, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx,

@@ -144,6 +144,11 @@ class TestFastCanonicalPredicate:
         "http://h.com?q=1",                   # query but no path -> not claimed
         "http://h.com/#",
         "http:///x",                          # empty host -> not claimed
+        # embedded absolute URLs (redirect/tracking links) — host/path must
+        # come from the FIRST '://', never the embedded one (ADVICE r1 high)
+        "http://evil.biz/r?u=http://www.example.com/",
+        "https://t.co/r?url=https://a.example.org/p?x=1",
+        "http://a.com/r/http://b.com/x",      # embedded in path
     ]
 
     def _spark_claims(self, spark):
@@ -183,6 +188,35 @@ class TestFastCanonicalPredicate:
             )
             if spec:
                 assert claims[u], f"regex spec claims {u} but native does not"
+
+    def test_embedded_scheme_host_extraction(self, spark):
+        """Host/path of a canonical URL with an embedded absolute URL must be
+        extracted relative to the FIRST '://' (whitelist-bypass guard,
+        reference safety invariant scheduler/scheduler.go:555)."""
+        from pyspark.sql import functions as F
+
+        from webcrawler_spark.functions.urls import (
+            url_host_canonical,
+            url_path_canonical,
+        )
+
+        cases = [
+            ("http://evil.biz/r?u=http://www.example.com/", "evil.biz", "/r"),
+            ("https://t.co/r?url=https://a.example.org/p?x=1", "t.co", "/r"),
+            ("http://a.com/r/http://b.com/x", "a.com", "/r/http://b.com/x"),
+            ("http://h.com/a/b?q=1", "h.com", "/a/b"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _, _ in cases], "url: string")
+        got = {
+            r["url"]: (r["h"], r["p"])
+            for r in df.select(
+                "url",
+                url_host_canonical(F.col("url")).alias("h"),
+                url_path_canonical(F.col("url")).alias("p"),
+            ).collect()
+        }
+        for u, host, path in cases:
+            assert got[u] == (host, path), (u, got[u])
 
     def test_fixture_urls_fixed_points_when_claimed(self, spark):
         from pyspark.sql import functions as F

@@ -65,15 +65,6 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(urlnorm.canonicalize, na_action="ignore")
 
 
-@pandas_udf(StringType())
-def resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    frame = pd.DataFrame({"b": base, "h": href})
-    return frame.apply(
-        lambda r: None if r.b is None or r.h is None else urlnorm.resolve(r.b, r.h),
-        axis=1,
-    )
-
-
 def url_scheme(url: Column) -> Column:
     """Scheme of a canonical URL (already lowercased by canonicalization)."""
     return F.regexp_extract(url, r"^([a-z][a-z0-9+.\-]*)://", 1)
@@ -97,8 +88,15 @@ def url_path(url: Column) -> Column:
 # unlike the regex path, scales linearly past 8 threads).
 
 def url_rest_canonical(url: Column) -> Column:
-    """Everything after '://' of a canonical URL."""
-    return F.substring_index(url, "://", -1)
+    """Everything after the FIRST '://' of a canonical URL.
+
+    Must be the first occurrence, not substring_index(..., -1): redirect/
+    tracking URLs embed absolute URLs in the query
+    (http://evil.biz/r?u=http://www.example.com/) and splitting on the
+    LAST '://' would extract host/path from the embedded URL — a domain-
+    whitelist bypass (the scheduler.go:555 safety invariant). instr is
+    still a byte scan, preserving the no-regex hot path."""
+    return F.substring(url, F.instr(url, "://") + F.lit(3), F.lit(1 << 30))
 
 
 def url_host_canonical(url: Column) -> Column:

@@ -56,7 +56,9 @@ def _contains_none(col, needles: list[str]):
 
 def is_definitely_canonical(url) -> "F.Column":
     scheme_ok = url.startswith("http://") | url.startswith("https://")
-    rest = F.substring_index(url, "://", -1)
+    # FIRST '://' — embedded absolute URLs in the query (redirect links)
+    # must not shift the host window (see urls.url_rest_canonical).
+    rest = F.substring(url, F.instr(url, "://") + F.lit(3), F.lit(1 << 30))
     host = F.substring_index(rest, "/", 1)
     path_q = F.substring(rest, F.length(host) + 1, F.lit(1 << 30))
     path = F.substring_index(path_q, "?", 1)
@@ -181,10 +183,20 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
     # the shuffle moves one row per (partition, url_sha1). A fully numeric
     # tie-break (hash of parent) would enable HashAggregate at the cost of
     # a 2^-64 nondeterminism; not worth it for the frontier's semantics.
+    # NULL parent_url is preserved (not collapsed with "") by a 1-byte
+    # marker: NULL packs as the empty field (sorts first, like NULL in a
+    # struct-min), a real value packs as "\x01"+parent (\x01 sorts below
+    # every URL character but above the \x00 separator, so shorter parents
+    # still win against their extensions). depth/link_pos are non-negative
+    # by construction (seeds start at 0, links at depth+1 / enumerate
+    # index) — the lpad fixed-width encoding requires that; a negative
+    # value would mis-order, so it is asserted in debug runs via tests.
     packed = F.concat_ws(
         "\x00",
         F.lpad(F.col("depth").cast("string"), 19, "0"),
-        F.coalesce(F.col("parent_url"), F.lit("")),  # concat_ws drops nulls
+        F.when(F.col("parent_url").isNull(), F.lit("")).otherwise(
+            F.concat(F.lit("\x01"), F.col("parent_url"))
+        ),
         F.lpad(F.col("link_pos").cast("string"), 19, "0"),
     )
     agg = cand.groupBy("url_sha1").agg(
@@ -194,10 +206,13 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
         F.min(packed).alias("_w"),
     )
     parts = F.split(F.col("_w"), "\x00")
+    packed_parent = F.element_at(parts, 2)
     return agg.select(
         "url_sha1", "url", "host", "path",
         F.element_at(parts, 1).cast("long").alias("depth"),
-        F.element_at(parts, 2).alias("parent_url"),
+        F.when(packed_parent == "", F.lit(None).cast("string"))
+        .otherwise(F.substring(packed_parent, 2, F.lit(1 << 30)))
+        .alias("parent_url"),
         F.element_at(parts, 3).cast("long").alias("link_pos"),
     )
 
