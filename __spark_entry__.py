@@ -514,10 +514,13 @@ def _sql_dedup_jaccard() -> str:
 
 
 def _sql_dedup_minhash_lsh(k: int = 12, bands: int = 4) -> str:
+    # Kirsch-Mitzenmacher twin of dedup.minhash_signatures: one md5 per
+    # shingle, h_i = h1 + i*h2 (h1/h2 = 14-hex-digit slices, h2 forced odd)
     rows = k // bands
+    h1 = "('0x' || substr(md5(shingle), 1, 14))::BIGINT"
+    h2 = "(('0x' || substr(md5(shingle), 15, 14))::BIGINT | 1)"
     mins = ", ".join(
-        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT) AS h{i}"
-        for i in range(k)
+        f"min({h1} + {i} * {h2}) AS h{i}" for i in range(k)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "

@@ -37,6 +37,22 @@ from .textstats import tokens
 HEX = "0123456789abcdef"
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to defaultParallelism when the source is narrower.
+
+    Shingling/hashing is per-ROW CPU over byte-small rows: a compact
+    parquet file arrives as 1-2 partitions (maxPartitionBytes never splits
+    small files) and would pin the whole stage to as many cores. The
+    repartition shuffle moves only the small source bytes — measured 3-5x
+    faster end-to-end at local[32] even at sf0.1. At real 100 TB scale the
+    scan is already wide and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact ----
 
 def exact_dedup_groups(
@@ -84,7 +100,7 @@ def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, extra: list[str] | None = None
 ) -> DataFrame:
     cols = [F.col(id_col)] + [F.col(c) for c in (extra or [])]
-    return df.select(
+    return _widen(df).select(
         *cols, F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -152,15 +168,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}): k numeric min-hashes from ONE explode and ONE
     shuffle — BIGINT buffers keep all k min-aggregates in HashAggregate
-    with map-side combine."""
+    with map-side combine.
+
+    Hash family is Kirsch-Mitzenmacher over ONE md5 per shingle:
+    h_i = h1 + i*h2 with h1 = first 14 hex digits (56 bits) and
+    h2 = next 14 digits | 1 (odd). One digest instead of k — md5 is the
+    dominant per-shingle cost — and the sums stay < 2^60, overflow-free
+    in signed 64-bit on any engine (exact DuckDB twin)."""
     ex = _exploded_shingles(df, id_col, text_col, n)
+    full = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(full, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(full, 15, 14), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    ex = ex.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
-                16, 10,
-            ).cast("long")
-        ).alias(f"h{i}")
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
         for i in range(k)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -198,9 +219,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.05,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join on (band_id, band_key)) verified
-    with true Jaccard >= threshold. The verify join only sees candidate
-    pairs — the LSH point: at 10^9 docs the quadratic pair space never
-    materializes; the shuffles are explode→min-agg and the bucket join."""
+    with true Jaccard >= threshold.
+
+    The verify side scores ONLY candidate pairs: candidate doc ids
+    semi-join-prune the per-doc shingle-ARRAY table (no explode), then
+    |A∩B| = size(array_intersect) per candidate pair. The quadratic
+    co-shingled pair space never materializes — at 10^9 docs the shuffles
+    are explode→min-agg (signatures), the bucket join (candidates), and
+    an id-keyed join of candidates against the pruned array table (AQE
+    broadcasts the pruned side when candidates are few)."""
     rows_per_band = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
     bd = lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
@@ -213,11 +240,36 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    true_j = jaccard_pairs(
-        df, id_col, text_col, block_col=None, n=n, threshold=0.0
+    cand_ids = (
+        cand.select(F.col("id1").alias(id_col))
+        .unionByName(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
     )
-    return cand.join(true_j, on=["id1", "id2"], how="inner").filter(
-        F.col("jaccard") >= threshold
+    sh_arr = (
+        _widen(df).select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        .join(cand_ids, on=id_col, how="left_semi")
+        .withColumn("_n_sh", F.size("_sh"))
+    )
+    a = sh_arr.select(
+        F.col(id_col).alias("id1"), F.col("_sh").alias("_sh1"), F.col("_n_sh").alias("_n1")
+    )
+    b = sh_arr.select(
+        F.col(id_col).alias("id2"), F.col("_sh").alias("_sh2"), F.col("_n_sh").alias("_n2")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh1"), F.col("_sh2")))
+    return (
+        cand.join(a, on="id1")
+        .join(b, on="id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                inter.cast("double")
+                / (F.col("_n1") + F.col("_n2") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -240,7 +292,7 @@ def simhash(
     shuffle, map-side combined. Bit j of the signature is set iff the
     signed sum of token bit-j contributions is > 0.
     """
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).withColumn("hex4", F.substring(F.md5(F.col("token")), 1, 4))
     aggs = [
