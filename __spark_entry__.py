@@ -459,7 +459,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.simhash_pairs(docs, block_col="source", max_hamming=8)
+    out = dedup.simhash_pairs(docs, max_hamming=3)
     return out.select(
         F.col("id1").cast("long").alias("id1"),
         F.col("id2").cast("long").alias("id2"),
@@ -545,24 +545,41 @@ WHERE jac.jaccard >= 0.01
 
 
 def _sql_simhash_sig() -> str:
+    """64-bit twin of dedup._simhash_sums/_sig_from_sums: same nibble
+    extraction over 16 hex chars, two's-complement bit 63, 4×16-bit band
+    chunks built from the sums (no shifts on the signed signature)."""
+    nbits = dedup.SIMHASH_BITS
     sums = []
-    for j in range(16):
-        pos = j // 4 + 1
-        shift = 1 << (3 - j % 4)
-        v = f"(strpos('{dedup.HEX}', substring(hex4, {pos}, 1)) - 1)"
-        bit = f"(floor({v} / {shift})::INT % 2)"
+    for j in range(nbits):
+        if j < 32:
+            bit = f"((v_lo >> {j}) & 1)"
+        else:
+            bit = f"((v_hi >> {j - 32}) & 1)"
         sums.append(f"sum({bit} * 2 - 1) AS s{j}")
-    sig = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT" for j in range(16)
-    )
+    sig = "(CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT + " + \
+        " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT"
+            for j in range(nbits - 1)
+        )
+    chunks = []
+    for b in range(dedup.SIMHASH_BANDS):
+        w = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+        chunk = " + ".join(
+            f"(CASE WHEN s{b * w + r} > 0 THEN {1 << r} ELSE 0 END)::BIGINT"
+            for r in range(w)
+        )
+        chunks.append(f"({chunk}) AS c{b}")
     return f"""
 tok AS (
-  SELECT doc_id, source, substring(md5(t.token), 1, 4) AS hex4
-  FROM (SELECT doc_id, source, unnest({_SQL_TOKS}) AS token FROM documents) t
+  SELECT doc_id,
+         ('0x' || substring(md5(t.token), 1, 8))::BIGINT AS v_hi,
+         ('0x' || substring(md5(t.token), 9, 8))::BIGINT AS v_lo
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents) t
 ), summed AS (
   SELECT doc_id, {", ".join(sums)} FROM tok GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id::BIGINT AS doc_id, ({sig}) AS simhash FROM summed
+  SELECT doc_id::BIGINT AS doc_id, ({sig}) AS simhash, {", ".join(chunks)}
+  FROM summed
 )"""
 
 
@@ -570,16 +587,19 @@ def _sql_dedup_simhash() -> str:
     return f"WITH {_sql_simhash_sig()} SELECT doc_id, simhash FROM sig"
 
 
-def _sql_dedup_simhash_pairs() -> str:
+def _sql_dedup_simhash_pairs(max_hamming: int = 3) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, c{b} AS chunk FROM sig"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
     return f"""
 WITH {_sql_simhash_sig()},
-sigb AS (
-  SELECT s.doc_id, s.simhash, d.source FROM sig s JOIN documents d ON d.doc_id = s.doc_id
-)
-SELECT a.doc_id::BIGINT AS id1, b.doc_id::BIGINT AS id2,
+bd AS ({band_rows})
+SELECT DISTINCT a.doc_id::BIGINT AS id1, b.doc_id::BIGINT AS id2,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM sigb a JOIN sigb b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+FROM bd a JOIN bd b
+  ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -15,10 +15,11 @@ Five strategies over the ``documents`` table, each Spark-first:
                 the k min-aggregates stay in codegen'd HashAggregate
                 (string buffers would force SortAggregate), uniform, and
                 bit-identical in any engine with md5 + hex→int.
-* SimHash     — 16-bit signature from per-token md5 nibbles, computed as 16
+* SimHash     — 64-bit signature from per-token md5 nibbles, computed as 64
                 conditional sums in a single groupBy (no bit-position
-                explode ⇒ one shuffle); near-dup pairs via
-                bit_count(xor) <= h within a block.
+                explode ⇒ one shuffle); near-dup pairs via a 4×16-bit
+                banded chunk equi-join + bit_count(xor) <= h verify
+                (complete for h <= 3 by pigeonhole).
 * embedding   — cosine >= threshold pairs within a block, reusing
                 similarity.cosine (strict-left-fold double, oracle-exact).
 
@@ -275,70 +276,132 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash ----
 
-def _token_bit(hex4: Column, j: int) -> Column:
-    """Bit j (0..15) of the 16-bit value held in 4 hex chars of md5."""
-    ch = F.substring(hex4, j // 4 + 1, 1)
-    v = F.instr(F.lit(HEX), ch) - 1
-    shift = 1 << (3 - j % 4)
-    return (F.floor(v / F.lit(shift)).cast("int") % 2).cast("int")
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 16-bit chunks
+
+_I64_MIN = -9223372036854775807 - 1  # two's-complement bit 63
+
+
+def _token_bit(j: int) -> Column:
+    """Bit j (0..63) of the token's 64-bit md5 prefix, held as two 32-bit
+    halves `_v_hi`/`_v_lo` — integer shift+mask, no per-bit string work."""
+    if j < 32:
+        return F.shiftright(F.col("_v_lo"), j).bitwiseAND(F.lit(1)).cast("int")
+    return F.shiftright(F.col("_v_hi"), j - 32).bitwiseAND(F.lit(1)).cast("int")
+
+
+def _simhash_sums(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, s0..s63): signed per-bit sums — one explode + one groupBy(id)
+    with 64 conditional sums; a single shuffle, map-side combined. The
+    64-bit token value decodes once into two non-negative 32-bit halves
+    (hi = first 8 hex chars), so each bit costs one shift+and."""
+    full = F.md5(F.col("token"))
+    tok = (
+        _widen(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .withColumn("_v_hi", F.conv(F.substring(full, 1, 8), 16, 10).cast("long"))
+        .withColumn("_v_lo", F.conv(F.substring(full, 9, 8), 16, 10).cast("long"))
+    )
+    aggs = [
+        F.sum(_token_bit(j) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def _sig_from_sums() -> Column:
+    """64-bit signature as signed two's complement: bit 63 contributes
+    I64_MIN (no engine-specific unsigned shifts), bits 0..62 their power."""
+    sig = F.when(F.col("s63") > 0, F.lit(_I64_MIN)).otherwise(F.lit(0)).cast("long")
+    for j in range(SIMHASH_BITS - 1):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def _band_chunk_from_sums(band: int) -> Column:
+    """16-bit chunk `band` of the signature (0..65535, sign-free) — band
+    keys are built from the per-bit sums directly, never by shifting the
+    signed signature (arithmetic >> would sign-extend)."""
+    chunk = F.lit(0).cast("long")
+    for r in range(_BAND_WIDTH):
+        j = band * _BAND_WIDTH + r
+        chunk = chunk + F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
+    return chunk
 
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """16-bit SimHash over whitespace tokens (with multiplicity).
+    """64-bit SimHash over whitespace tokens (with multiplicity).
 
-    One explode + one groupBy(id) with 16 conditional sums — a single
-    shuffle, map-side combined. Bit j of the signature is set iff the
-    signed sum of token bit-j contributions is > 0.
-    """
-    tok = _widen(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).withColumn("hex4", F.substring(F.md5(F.col("token")), 1, 4))
-    aggs = [
-        F.sum(_token_bit(F.col("hex4"), j) * 2 - 1).alias(f"s{j}")
-        for j in range(16)
-    ]
-    summed = tok.groupBy(id_col).agg(*aggs)
-    sig = None
-    for j in range(16):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        sig = bit if sig is None else sig + bit
-    return summed.select(F.col(id_col), sig.alias("simhash"))
+    Bit j of the signature is set iff the signed sum of token bit-j
+    contributions is > 0 (token bits come from the first 16 hex chars of
+    md5(token)). At 10^9 docs a 16-bit signature saturates (~2^16 distinct
+    values); 64 bits keep hamming distance meaningful."""
+    summed = _simhash_sums(df, id_col, text_col)
+    return summed.select(F.col(id_col), _sig_from_sums().alias("simhash"))
 
 
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str | None = "source",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance over in-block SimHash pairs."""
-    extra = [block_col] if block_col else []
-    sh = simhash(df, id_col, text_col)
-    if extra:
-        sh = sh.join(df.select(id_col, *extra), on=id_col)
-    a = sh.select(
-        F.col(id_col).alias("id1"),
-        F.col("simhash").alias("sh1"),
-        *[F.col(c).alias(f"_b1_{c}") for c in extra],
+    """Near-dup pairs by SimHash Hamming distance, found by BANDING —
+    4×16-bit chunk equi-join, never an in-block all-pairs product.
+
+    Recall guarantee (pigeonhole): hamming(a,b) <= SIMHASH_BANDS-1 = 3
+    implies at least one chunk is identical, so with the default
+    max_hamming=3 this returns ALL pairs within distance 3 (the classic
+    64-bit near-dup setting, cf. Manku et al., WWW'07 — public
+    literature). For max_hamming > 3 the band join bounds recall; the
+    semantics are then 'shares >=1 band AND hamming <= h', deterministic
+    and oracle-matched. The chunk join is a shuffle on (band_id, chunk);
+    hot chunks split by AQE."""
+    summed = _simhash_sums(df, id_col, text_col)
+    sh = summed.select(
+        F.col(id_col),
+        _sig_from_sums().alias("simhash"),
+        *[_band_chunk_from_sums(b).alias(f"c{b}") for b in range(SIMHASH_BANDS)],
     )
-    b = sh.select(
-        F.col(id_col).alias("id2"),
-        F.col("simhash").alias("sh2"),
-        *[F.col(c).alias(f"_b2_{c}") for c in extra],
+    bands_rows = F.array(*[
+        F.struct(F.lit(b).alias("band_id"), F.col(f"c{b}").alias("chunk"))
+        for b in range(SIMHASH_BANDS)
+    ])
+    bd = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands_rows).alias("band")
+    ).select(
+        id_col, "simhash",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.chunk").alias("chunk"),
     )
-    cond = [F.col("id1") < F.col("id2")]
-    for c in extra:
-        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
+    a = bd.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"),
+        "band_id", "chunk",
+    )
+    b = bd.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"),
+        F.col("band_id").alias("band_id2"), F.col("chunk").alias("chunk2"),
+    )
     return (
-        a.join(b, cond)
-        .withColumn(
-            "hamming", F.bit_count(F.expr("sh1 ^ sh2")).cast("int")
+        a.join(
+            b,
+            [
+                F.col("band_id") == F.col("band_id2"),
+                F.col("chunk") == F.col("chunk2"),
+                F.col("id1") < F.col("id2"),
+            ],
+        )
+        .select(
+            "id1", "id2",
+            F.bit_count(F.expr("sh1 ^ sh2")).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+        .distinct()
     )
 
 
