@@ -50,6 +50,45 @@ def test_delta_merge(spark):
     assert merged.might_contain(pd.Series(a + b)).all()
 
 
+def test_auto_sizing_bounds_shard_bitmaps():
+    """plan() must keep every shard's bitmap <= MAX_SHARD_BYTES across the
+    whole target range (10^4 .. 10^10 keys) while preserving total capacity."""
+    import math
+
+    for n in [10_000, 10**6, 10**7, 10**8, 10**10]:
+        sb, expected = ShardedBloom.plan(n, fpp=0.01)
+        m = ShardedBloom._optimal_m(expected, 0.01)
+        assert m // 8 <= ShardedBloom.MAX_SHARD_BYTES, (n, sb, m // 8)
+        # capacity: shards x expected_per_shard covers n with the safety factor
+        assert (1 << sb) * expected >= n
+        # never over-sharded: one fewer bit would blow the cap (when sb > 0)
+        if sb > 0:
+            m_total = -n * 1.2 * math.log(0.01) / (math.log(2) ** 2)
+            assert m_total / (1 << (sb - 1)) > ShardedBloom.MAX_SHARD_BYTES * 8
+
+
+def test_auto_build_small_input(spark):
+    """build() with only n_seen derives sizing itself and keeps the
+    no-false-negative guarantee."""
+    keys = _hashes(3000, "auto")
+    df = spark.createDataFrame([(k,) for k in keys], ["url_sha1"]).repartition(8)
+    bloom = ShardedBloom.build(df, n_seen=3000)
+    assert bloom.shard_bits == 0  # tiny input -> single shard
+    assert bloom.might_contain(pd.Series(keys)).all()
+
+
+def test_sharded_build_distributed_merge(spark):
+    """Sharded build repartitions by shard id and merges in-cluster: the
+    result must still be exact (no false negatives) with multiple shards."""
+    keys = _hashes(6000, "dist")
+    df = spark.createDataFrame([(k,) for k in keys], ["url_sha1"]).repartition(16)
+    bloom = ShardedBloom.build(df, expected_per_shard=1000, fpp=0.01, shard_bits=3)
+    assert len(bloom.shards) == 8
+    assert bloom.might_contain(pd.Series(keys)).all()
+    fpr = bloom.might_contain(pd.Series(_hashes(10000, "out"))).mean()
+    assert fpr < 0.05
+
+
 def test_empty_seen(spark):
     df = spark.createDataFrame([], "url_sha1 string")
     bloom = ShardedBloom.build(df, expected_per_shard=1000, fpp=0.01)

@@ -93,14 +93,54 @@ class ShardedBloom:
         return result
 
     # -- construction ------------------------------------------------------
+
+    MAX_SHARD_BYTES = 16 << 20  # broadcast-friendly per-shard bitmap cap
+
+    @classmethod
+    def plan(cls, n_seen: int, fpp: float = 0.01,
+             max_shard_bytes: int | None = None) -> tuple[int, int]:
+        """Size the filter for n_seen keys: -> (shard_bits, expected_per_shard).
+
+        shard_bits grows until every shard's bitmap fits max_shard_bytes
+        (default 16 MB); expected_per_shard carries a 1.2x safety factor.
+        At n=10^10, fpp=0.01 this lands at 2^10 shards of ~12 MB — each
+        partial stays executor/driver friendly, vs. a single 12 GB bitmap.
+        """
+        n_eff = max(1, n_seen) * 1.2  # safety factor, applied before sizing
+        cap_bits = (max_shard_bytes or cls.MAX_SHARD_BYTES) * 8
+        m_total = -n_eff * math.log(fpp) / (math.log(2) ** 2)
+        shard_bits = 0
+        while m_total / (1 << shard_bits) > cap_bits and shard_bits < 24:
+            shard_bits += 1
+        expected_per_shard = max(1024, math.ceil(n_eff / (1 << shard_bits)))
+        return shard_bits, expected_per_shard
+
     @classmethod
     def build(cls, seen: DataFrame, key_col: str = "url_sha1",
-              expected_per_shard: int = 1_000_000, fpp: float = 0.01,
-              shard_bits: int = 0) -> "ShardedBloom":
-        """Build from a seen table: per-partition partial bitmaps
-        (mapInArrow), OR-merged on the driver. At 10^10 scale, raise
-        shard_bits so each shard's bitmap stays ~MBs and per-partition
-        deltas only touch their shard."""
+              expected_per_shard: int | None = None, fpp: float = 0.01,
+              shard_bits: int | None = None,
+              n_seen: int | None = None) -> "ShardedBloom":
+        """Build from a seen table, distributed end-to-end:
+
+        1. sizing: explicit (expected_per_shard, shard_bits) or derived
+           from n_seen via plan() (counted if neither given);
+        2. when sharded, repartition the keys BY SHARD ID first so each
+           input partition builds bitmaps for (mostly) one shard — without
+           this, every partition would emit a partial for every shard:
+           partitions x shards x m/8 bytes of shuffle at 10^10 scale;
+        3. per-partition partial bitmaps (mapInArrow, numpy-vectorized);
+        4. OR-merge per shard INSIDE the cluster (groupBy(shard) +
+           applyInPandas) — the driver receives exactly one bitmap per
+           shard, never the per-partition partials.
+        """
+        if expected_per_shard is None or shard_bits is None:
+            if n_seen is None:
+                n_seen = seen.count()
+            auto_bits, auto_expected = cls.plan(n_seen, fpp)
+            if shard_bits is None:
+                shard_bits = auto_bits
+            if expected_per_shard is None:
+                expected_per_shard = auto_expected
         m = cls._optimal_m(expected_per_shard, fpp)
         k = max(1, round(m / max(1, expected_per_shard) * math.log(2)))
         proto = cls(shard_bits, m, k, {})
@@ -134,16 +174,32 @@ class ShardedBloom:
                      "bitmap": pa.array([bitmap.tobytes()], type=pa.binary())}
                 )
 
-        partials = seen.select(F.col(key_col).cast("string")).mapInArrow(
-            build_partials, "shard long, bitmap binary"
+        keyed = seen.select(F.col(key_col).cast("string").alias("_k"))
+        if sb:
+            # shard id natively: first 8 hex chars as uint32 >> (32-sb).
+            shard_expr = F.shiftright(
+                F.conv(F.substring(F.col("_k"), 1, 8), 16, 10).cast("long"),
+                32 - sb,
+            )
+            keyed = keyed.repartition(1 << sb, shard_expr)
+
+        partials = keyed.mapInArrow(build_partials, "shard long, bitmap binary")
+
+        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            for b in pdf["bitmap"].iloc[1:]:
+                out |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"shard": [pdf["shard"].iloc[0]], "bitmap": [out.tobytes()]}
+            )
+
+        merged = partials.groupBy("shard").applyInPandas(
+            or_merge, "shard long, bitmap binary"
         ).collect()
-        shards: dict[int, np.ndarray] = {}
-        for row in partials:
-            arr = np.frombuffer(row["bitmap"], dtype=np.uint8)
-            if row["shard"] in shards:
-                shards[row["shard"]] = shards[row["shard"]] | arr
-            else:
-                shards[row["shard"]] = arr.copy()
+        shards: dict[int, np.ndarray] = {
+            int(row["shard"]): np.frombuffer(row["bitmap"], dtype=np.uint8)
+            for row in merged
+        }
         return cls(shard_bits, m, k, shards)
 
     @staticmethod

@@ -72,7 +72,8 @@ class CrawlConfig:
     bloom_min_seen: int = 100_000        # below this the exact anti-join is
                                          # cheaper than building a bloom
     bloom_fpp: float = 0.01
-    bloom_shard_bits: int = 0            # raise at 10^10 scale
+    bloom_shard_bits: int | None = None  # None = auto-size from n_seen
+                                         # (each shard bitmap <= 16 MB)
     politeness_salt_buckets: int | None = None  # enable for hot-host skew
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
@@ -186,7 +187,7 @@ def run_crawl(
             n_seen = seen.count()  # metadata-only (parquet)
             if n_seen >= cfg.bloom_min_seen:
                 bloom = ShardedBloom.build(
-                    seen, expected_per_shard=max(1024, n_seen * 2),
+                    seen, n_seen=n_seen,
                     fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
                 )
                 prefilter = bloom_split(spark, bloom)
