@@ -126,10 +126,13 @@ def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("parent_url"),
         "link_pos",
     )
+    # synthesized URLs are canonical by construction -> byte-scan host/path
+    # (java.util.regex stops scaling past ~8 threads on allocation-heavy
+    # per-row matches; instr/substring stay linear)
     cand = (
         cand.withColumn("url_sha1", F.md5(F.col("url")))
-        .withColumn("host", U.url_host(F.col("url")))
-        .withColumn("path", U.url_path(F.col("url")))
+        .withColumn("host", U.url_host_canonical(F.col("url")))
+        .withColumn("path", U.url_path_canonical(F.col("url")))
     )
     filt = admission.admission_filters(cand, WHITELIST, max_depth=5)
     winners = admission.dedup_in_round(filt)

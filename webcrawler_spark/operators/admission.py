@@ -156,9 +156,19 @@ def admission_filters(
     # At 10^10 URLs the distinct-host aggregation is a partial-agg shuffle
     # of short strings; the join back is host-keyed (AQE broadcasts it
     # when the host set is small).
+    #
+    # The F.when(_n > 0, ...) guard is load-bearing: a predicate over only
+    # the grouping column would be PUSHED BELOW the aggregate by Catalyst
+    # (PushDownPredicates), silently re-evaluating the regex per URL —
+    # measured 25s vs 0.5s at 750k rows / 137 hosts on local[32].
+    # Referencing the aggregated _n (always >= 1, so semantics unchanged)
+    # pins the filter above the distinct.
     ok_hosts = (
-        out.select("host").distinct()
-        .filter(U.primary_domain(F.col("host")).isin(whitelist))
+        out.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(
+            F.when(F.col("_n") > 0, U.primary_domain(F.col("host"))).isin(whitelist)
+        )
+        .select("host")
     )
     out = out.join(ok_hosts, on="host", how="left_semi")
     out = out.filter(F.col("depth") <= F.lit(max_depth))
