@@ -53,6 +53,7 @@ class CrawlConfig:
     parsers: str = "combined"  # "generic" | "bm1365" | "combined"
     budgets: dict[str, int] | None = None       # host -> per-round fetch slots
     robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
+    max_fetch_retries: int = 0                  # fetch-miss re-enqueues
 
 
 @dataclass
@@ -62,6 +63,7 @@ class Candidate:
     depth: int
     parent: str
     link_pos: int
+    attempts: int = 0
 
 
 @dataclass
@@ -102,6 +104,7 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
     web = {p["url"]: p for p in pages}
     res = CrawlResult()
     deferred: list[Candidate] = []
+    retry: list[Candidate] = []
     candidates = [
         Candidate(url="", sha1="", depth=0, parent="", link_pos=s["order"])
         for s in sorted(seeds, key=lambda s: s["order"])
@@ -137,7 +140,8 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
             admitted.append(cand)
 
         # --- politeness: per-host budget, deferred carry-over (NEW) ---
-        queue = deferred + admitted
+        queue = deferred + admitted + retry
+        retry = []
         if not queue:
             res.metrics.append(
                 {"round": rnd, "candidates": n_candidates, "admitted": len(admitted),
@@ -176,6 +180,12 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                 res.errors.append({"round": rnd, "url": c.url, "stage": "fetch",
                                    "message": "fetch_miss"})
                 n_errors += 1
+                if c.attempts < cfg.max_fetch_retries:
+                    retry.append(
+                        Candidate(url=c.url, sha1=c.sha1, depth=c.depth,
+                                  parent=c.parent, link_pos=c.link_pos,
+                                  attempts=c.attempts + 1)
+                    )
                 continue
             ct = content_type_for(c.url)
             if ct.startswith("image"):
@@ -190,19 +200,31 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                 continue
             if not ct.startswith("text/html"):
                 continue
-            dom = htmldom.parse(page["html"])
-            out_links: list[str] = []
-            if cfg.parsers in ("bm1365", "combined"):
-                rec = extract_jcux(dom)
+            # row-level parse-error capture (mirror of the engine's UDF
+            # try/except): a poisoned page yields one errors row — the
+            # exception CLASS name, stable across stack depths — and
+            # contributes no items/links.
+            try:
+                dom = htmldom.parse(page["html"])
+                out_links: list[str] = []
+                rec = None
+                if cfg.parsers in ("bm1365", "combined"):
+                    rec = extract_jcux(dom)
+                    out_links.extend(extract_scoped_img_links(dom, c.url))
+                if cfg.parsers in ("generic", "combined"):
+                    out_links.extend(extract_links(dom, c.url))
+                    out_links.extend(extract_img_links(dom, c.url))
+            except Exception as e:  # noqa: BLE001
+                res.errors.append({"round": rnd, "url": c.url, "stage": "parse",
+                                   "message": type(e).__name__})
+                n_errors += 1
+                continue
+            if rec is not None:
                 res.items.append(
                     {"round": rnd, "url": c.url, "kind": "bm", "file_name": "",
                      "file_ext": "", "file_size": 0, "jcux": rec}
                 )
                 n_items += 1
-                out_links.extend(extract_scoped_img_links(dom, c.url))
-            if cfg.parsers in ("generic", "combined"):
-                out_links.extend(extract_links(dom, c.url))
-                out_links.extend(extract_img_links(dom, c.url))
             for pos, u in enumerate(out_links):
                 next_candidates.append(
                     Candidate(url=u, sha1="", depth=c.depth + 1,
@@ -216,7 +238,7 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
         )
         candidates = next_candidates
         rnd += 1
-        if not candidates and not deferred:
+        if not candidates and not deferred and not retry:
             break
 
     return res

@@ -156,6 +156,81 @@ def test_errors_match(spark, fixture_web, tmp_path):
     assert engine_errors == golden_errors
 
 
+def test_parse_error_capture_and_fetch_retry(spark, tmp_path):
+    """A poisoned page (recursion bomb) yields one parse-stage errors row
+    and the crawl still completes; fetch misses are re-enqueued
+    max_fetch_retries times; errors/order/items match the extended oracle."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    host = "www.example.com"
+    seed_url = f"http://{host}/"
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    pages = [
+        {"url": seed_url, "warc_ts": ts, "lang": "en", "text": "",
+         "html": b'<a href="/poison">p</a><a href="/missing">m</a><a href="/ok">o</a>'},
+        {"url": f"http://{host}/poison", "warc_ts": ts, "lang": "en",
+         "text": "", "html": ("<div>" * 5000 + "boom").encode()},
+        {"url": f"http://{host}/ok", "warc_ts": ts, "lang": "en",
+         "text": "", "html": b"<p>fine</p>"},
+        # /missing intentionally absent -> fetch_miss + retries
+    ]
+    seeds = [{"url": seed_url, "order": 0}]
+    outdir = tmp_path / "poisonweb"
+    outdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": [p["url"] for p in pages],
+            "warc_ts": pa.array([p["warc_ts"] for p in pages],
+                                type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array([p["html"] for p in pages], type=pa.binary()),
+            "text": [p["text"] for p in pages],
+            "lang": [p["lang"] for p in pages],
+        }),
+        str(outdir / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pydict({"url": [seed_url], "order": [0]}),
+        str(outdir / "seeds.parquet"),
+    )
+
+    ocfg = OracleConfig(whitelist=["example.com"], max_depth=2, max_rounds=8,
+                        parsers="combined", max_fetch_retries=2)
+    golden = oracle_crawl(pages, seeds, ocfg)
+
+    cfg = CrawlConfig(whitelist=["example.com"], max_depth=2, max_rounds=8,
+                      parsers="combined", max_fetch_retries=2)
+    result = run_crawl(
+        spark,
+        spark.read.parquet(str(outdir / "pages.parquet")),
+        spark.read.parquet(str(outdir / "seeds.parquet")),
+        cfg,
+        checkpoint_dir=str(tmp_path / "ckpt_poison"),
+    )
+
+    engine_errors = sorted(
+        (r["round"], r["url"], r["stage"], r["message"])
+        for r in result.errors(spark).collect()
+    )
+    golden_errors = sorted(
+        (e["round"], e["url"], e["stage"], e["message"]) for e in golden.errors
+    )
+    assert engine_errors == golden_errors
+    # the miss is attempted 1 + max_fetch_retries times, once per round
+    miss_rounds = [r for r, u, s, m in engine_errors if u.endswith("/missing")]
+    assert miss_rounds == [1, 2, 3]
+    assert all(m == "fetch_miss" for r, u, s, m in engine_errors if s == "fetch")
+    # the poisoned page produced exactly one parse error and no items
+    parse_errs = [(u, m) for r, u, s, m in engine_errors if s == "parse"]
+    assert parse_errs == [(f"http://{host}/poison", "RecursionError")]
+    _assert_match(spark, golden, result)
+    item_urls = {r["url"] for r in result.items(spark).collect()}
+    assert f"http://{host}/poison" not in item_urls
+    assert f"http://{host}/ok" in item_urls
+
+
 def test_bloom_never_loses_urls(spark, fixture_web, tmp_path):
     """bloom 'maybe-seen' still passes the exact anti-join: results with and
     without the bloom prefilter are identical."""

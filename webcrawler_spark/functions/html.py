@@ -30,26 +30,41 @@ PARSE_SCHEMA = StructType(
         StructField("img_links", ArrayType(StringType())),
         StructField("scoped_img_links", ArrayType(StringType())),
         StructField("jcux", JCUX_SCHEMA),
+        # row-level error capture: a malformed page must not fail the task
+        # (reference funnels per-datum errors to the error channel,
+        # scheduler/scheduler.go:240-269, and keeps crawling). Holds the
+        # exception CLASS name — stable across worker/oracle stack depths.
+        StructField("error", StringType()),
     ]
 )
 
 
 @pandas_udf(PARSE_SCHEMA)
 def parse_html_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    links, img_links, scoped, jcux = [], [], [], []
+    links, img_links, scoped, jcux, errs = [], [], [], [], []
     for h, u in zip(html, url):
         if h is None or u is None:
             links.append(None)
             img_links.append(None)
             scoped.append(None)
             jcux.append(None)
+            errs.append(None)
             continue
-        pp = parse_page(h, u)
+        try:
+            pp = parse_page(h, u)
+        except Exception as e:  # noqa: BLE001 — row-level capture by design
+            links.append(None)
+            img_links.append(None)
+            scoped.append(None)
+            jcux.append(None)
+            errs.append(type(e).__name__)
+            continue
         links.append(pp.links)
         img_links.append(pp.img_links)
         scoped.append(pp.scoped_img_links)
         jcux.append({f: pp.jcux.get(f, "") for f in JCUX_FIELDS})
+        errs.append(None)
     return pd.DataFrame(
         {"links": links, "img_links": img_links, "scoped_img_links": scoped,
-         "jcux": jcux}
+         "jcux": jcux, "error": errs}
     )

@@ -61,6 +61,11 @@ RAW_CANDIDATE_SCHEMA = T.StructType(
     ]
 )
 
+# queue rows = candidate columns + fetch-attempt counter (retry support)
+QUEUE_SCHEMA = T.StructType(
+    list(CANDIDATE_SCHEMA.fields) + [T.StructField("attempts", T.LongType())]
+)
+
 
 @dataclass
 class CrawlConfig:
@@ -68,6 +73,10 @@ class CrawlConfig:
     max_depth: int = 3
     max_rounds: int = 20
     parsers: str = "combined"            # "generic" | "bm1365" | "combined"
+    max_fetch_retries: int = 0           # re-enqueue fetch misses up to N
+    # times in later rounds (0 = reference-faithful: a retried request is
+    # already in the seen set, so the reference's re-SendReq is dropped by
+    # the urlMap filter — scheduler.go:386,394 + 551-554)
     use_bloom: bool = True
     bloom_min_seen: int = 100_000        # below this the exact anti-join is
                                          # cheaper than building a bloom
@@ -156,14 +165,22 @@ def run_crawl(
             result.rounds = last + 1
             result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
             return result
+        import os as _os
+
         candidates = store.read(spark, last, "next_candidates")
         deferred = store.read(spark, last, "deferred")
+        retry = (
+            store.read(spark, last, "retry")
+            if _os.path.exists(store.round_path(last, "retry"))
+            else _empty(spark, QUEUE_SCHEMA)
+        )
         seen = store.read_all(spark, "seen_delta", upto=last)
         rnd = last + 1
         result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
     else:
         candidates = seeds_to_candidates(seeds)
-        deferred = _empty(spark, CANDIDATE_SCHEMA)
+        deferred = _empty(spark, QUEUE_SCHEMA)
+        retry = _empty(spark, QUEUE_SCHEMA)
         seen = None
         rnd = 0
 
@@ -201,7 +218,9 @@ def run_crawl(
             admitted = admitted.repartition(cfg.seen_partitions, "url_sha1")
         admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
 
-        queue = deferred.unionByName(admitted)
+        queue = deferred.unionByName(
+            admitted.withColumn("attempts", F.lit(0).cast("long"))
+        ).unionByName(retry)
 
         seen_delta = admitted.select(
             "url_sha1", "url", F.lit(rnd).cast("long").alias("first_round")
@@ -228,11 +247,20 @@ def run_crawl(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-        errors = fetched.filter(F.col("status") != 200).select(
+        misses = fetched.filter(F.col("status") != 200)
+        errors = misses.select(
             F.lit(rnd).cast("long").alias("round"),
             "url",
             F.lit("fetch").alias("stage"),
             F.lit("fetch_miss").alias("message"),
+        )
+        # retry re-enqueue (fetch-level: retried URLs are already seen, so
+        # they bypass admission — matching scheduler.go:574 timing)
+        retry_next = misses.filter(
+            F.col("attempts") < F.lit(cfg.max_fetch_retries)
+        ).select(
+            "url", "url_sha1", "host", "path", "depth", "parent_url",
+            "link_pos", (F.col("attempts") + 1).alias("attempts"),
         )
 
         items_img = _items_schema_img(fetched, rnd)
@@ -248,9 +276,20 @@ def run_crawl(
         elif isinstance(cfg.parse_partitions, int):
             html_pages = html_pages.repartition(cfg.parse_partitions)
 
-        parsed = html_pages.withColumn(
+        parsed_all = html_pages.withColumn(
             "p", parse_html_udf(F.col("html"), F.col("url"))
         ).select("url", "host", "depth", "p").persist(StorageLevel.MEMORY_AND_DISK)
+
+        # row-level parse failures: error rows go to the errors table and
+        # yield no items/links; the task itself never fails on one page
+        parse_errors = parsed_all.filter(F.col("p.error").isNotNull()).select(
+            F.lit(rnd).cast("long").alias("round"),
+            "url",
+            F.lit("parse").alias("stage"),
+            F.col("p.error").alias("message"),
+        )
+        errors = errors.unionByName(parse_errors)
+        parsed = parsed_all.filter(F.col("p.error").isNull())
 
         if cfg.parsers == "bm1365":
             out_links = F.col("p.scoped_img_links")
@@ -307,6 +346,7 @@ def run_crawl(
                 "lineage": lineage,
                 "next_candidates": next_candidates,
                 "deferred": deferred_next,
+                "retry": retry_next,
             },
             stats=stats,
         )
@@ -318,9 +358,11 @@ def run_crawl(
         errors_c = store.read(spark, rnd, "errors").count()
         deferred = store.read(spark, rnd, "deferred")
         deferred_c = deferred.count()
+        retry = store.read(spark, rnd, "retry")
+        retry_c = retry.count()
         stats.update({"admitted": n_admitted, "fetched": n_fetch,
                       "items": items_c, "errors": errors_c,
-                      "deferred": deferred_c})
+                      "deferred": deferred_c, "retried": retry_c})
         store.update_stats(rnd, stats)
         result.metrics.append(stats)
 
@@ -332,10 +374,10 @@ def run_crawl(
         admitted.unpersist()
         fetch_now.unpersist()
         fetched.unpersist()
-        parsed.unpersist()
+        parsed_all.unpersist()
 
         rnd += 1
-        if candidates.count() == 0 and deferred_c == 0:
+        if candidates.count() == 0 and deferred_c == 0 and retry_c == 0:
             break
 
     last = store.last_committed()
