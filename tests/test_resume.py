@@ -64,6 +64,29 @@ def test_kill_after_round_k_resume(spark, fixture_web, tmp_path):
     got = _collect_state(spark, resumed)
     assert got == want
 
+    # --- ordered final export: produced exactly once, byte-stable ---
+    import glob
+
+    def export_bytes(d):
+        store_ = RoundStore(d)
+        files = sorted(glob.glob(os.path.join(store_.export_path(), "part-*")))
+        assert len(files) == 1, files  # ONE ordered artifact
+        with open(files[0], "rb") as f:
+            return f.read()
+
+    full_bytes = export_bytes(full_dir)
+    assert export_bytes(crash_dir) == full_bytes
+    # export content = items union ordered by (round, url), with file_path
+    exp = RoundStore(full_dir).read_export(spark)
+    rows = exp.select("round", "url", "kind", "file_path").collect()
+    keys = [(r["round"], r["url"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        if r["kind"] == "img":
+            assert r["file_path"].startswith("pictures/")
+        else:
+            assert r["file_path"] is None
+
 
 def test_resume_on_done_store_is_noop(spark, fixture_web, tmp_path):
     paths = fixture_web["paths"]

@@ -382,9 +382,32 @@ def run_crawl(
 
     last = store.last_committed()
     if last is not None:
+        export_items(spark, store)
         store.mark_done(last)
     result.rounds = rnd
     return result
+
+
+def export_items(spark: SparkSession, store: RoundStore) -> str | None:
+    """End-of-crawl ordered export: ONE artifact of the items union,
+    ORDER BY round, url — the Excel sink's insertion-order file
+    (JcUx.go:117-148 via bmProcessor.go:83-89; the reference's insertion
+    order is our deterministic (round, url)). Img items gain the
+    `file_path` enrichment of bmProcessor.go:56-61 (relative
+    pictures/<name>; the columnar payload replaces the per-file OS write).
+    (round, url) is unique — a URL is fetched at most once — so the sort,
+    and therefore the artifact, is byte-stable across resumed runs."""
+    items = store.read_all(spark, "items")
+    if items is None:
+        return None
+    enriched = items.withColumn(
+        "file_path",
+        F.when(
+            F.col("kind") == "img",
+            F.concat(F.lit("pictures/"), F.col("file_name")),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+    return store.write_export(enriched.orderBy("round", "url"))
 
 
 _ORDER_SCHEMA = T.StructType(

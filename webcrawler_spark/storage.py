@@ -127,5 +127,25 @@ class RoundStore:
             return None
         return spark.read.parquet(*paths)
 
+    # -- final export ------------------------------------------------------
+    def export_path(self, name: str = "items_sorted") -> str:
+        return os.path.join(self.root, "export", name)
+
+    def write_export(self, df: DataFrame, name: str = "items_sorted") -> str:
+        """One ordered single-file artifact (the Excel sink's insertion-order
+        file, exampes/finder/bm1365Model/JcUx.go:117-148, saved once at
+        shutdown — finder.go:122). Staged write + directory rename, so a
+        crash mid-export leaves either the old artifact or none."""
+        dest = self.export_path(name)
+        tmp = dest + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.replace(tmp, dest)
+        return dest
+
+    def read_export(self, spark: SparkSession, name: str = "items_sorted") -> DataFrame:
+        return spark.read.parquet(self.export_path(name))
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
