@@ -101,6 +101,18 @@ def test_politeness_budgets_enforced(spark, fixture_web, tmp_path):
             assert row["count"] <= budgets[row["host"]]
 
 
+def test_auto_salt_on_hot_host(spark, fixture_web, tmp_path):
+    """politeness_salt_buckets='auto': the hot-host fixture (one host owns
+    well over hot_host_share of the queue) must trigger the salted two-phase
+    top-k in at least one round, with order/seen/metrics still matching the
+    oracle exactly."""
+    golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
+                               with_politeness=True, salt_buckets="auto")
+    _assert_match(spark, golden, result)
+    assert any(m.get("salted") for m in result.metrics), \
+        "auto-salt never engaged on the hot-host fixture"
+
+
 def test_items_and_byte_identical_text(spark, fixture_web, tmp_path):
     golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
                                with_politeness=True)

@@ -83,7 +83,13 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     bloom_shard_bits: int | None = None  # None = auto-size from n_seen
                                          # (each shard bitmap <= 16 MB)
-    politeness_salt_buckets: int | None = None  # enable for hot-host skew
+    politeness_salt_buckets: int | str | None = "auto"  # int = fixed salt,
+    # None = plain per-host window, "auto" = salt with defaultParallelism
+    # buckets whenever the PREVIOUS round's committed queue (order ∪
+    # deferred) had a host above hot_host_share of the rows — detection
+    # reads only the committed host column, so the probe never taxes the
+    # hot path, and a hot host cannot pin its whole queue to one task
+    hot_host_share: float = 0.05
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -188,6 +194,8 @@ def run_crawl(
     # the parquet scan; `text`/`lang` are never read by the crawl plan)
     pages_fetch = pages.select("url", "html")
 
+    hot_host = False  # skew signal from the previous round's queue
+
     while rnd <= cfg.max_rounds:
         # counts on committed parquet are metadata-only (row-group stats) —
         # the only full passes per round are: admission, the politeness
@@ -226,8 +234,14 @@ def run_crawl(
             "url_sha1", "url", F.lit(rnd).cast("long").alias("first_round")
         )
 
+        if cfg.politeness_salt_buckets == "auto":
+            salt_buckets = (
+                spark.sparkContext.defaultParallelism if hot_host else None
+            )
+        else:
+            salt_buckets = cfg.politeness_salt_buckets
         fetch_now, deferred_next = assign_fetch_slots(
-            queue, budgets, salt_buckets=cfg.politeness_salt_buckets
+            queue, budgets, salt_buckets=salt_buckets
         )
         fetch_now = fetch_now.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -360,9 +374,26 @@ def run_crawl(
         deferred_c = deferred.count()
         retry = store.read(spark, rnd, "retry")
         retry_c = retry.count()
+
+        # hot-host probe for next round's auto-salt: committed host column
+        # of this round's queue (order ∪ deferred) — a cheap columnar scan
+        if cfg.politeness_salt_buckets == "auto" and budgets is not None:
+            q_hosts = store.read(spark, rnd, "order").select("host").unionByName(
+                deferred.select("host")
+            )
+            top = (
+                q_hosts.groupBy("host").count()
+                .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+                .first()
+            )
+            hot_host = bool(
+                top and top["total"]
+                and top["mx"] / top["total"] > cfg.hot_host_share
+            )
         stats.update({"admitted": n_admitted, "fetched": n_fetch,
                       "items": items_c, "errors": errors_c,
-                      "deferred": deferred_c, "retried": retry_c})
+                      "deferred": deferred_c, "retried": retry_c,
+                      "salted": bool(salt_buckets)})
         store.update_stats(rnd, stats)
         result.metrics.append(stats)
 
