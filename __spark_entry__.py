@@ -174,9 +174,12 @@ WHERE rn = 1 AND md5(url) NOT IN (SELECT url_md5 FROM seen)
 
 def q_seed_list_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-list JSON decode (InitReqList, exampes/finder/bm1365Model/
-    JcUx.go:47-85): the listing API's JSON body -> from_json with
+    JcUx.go:47-85) through sources.seedlist.decode_listing: the listing
+    API's JSON body -> from_json with
     page:struct<list:array<struct<create_id,id>>> -> exploded product URLs
     at depth 0 (URL shape of JcUx.go:72-73)."""
+    from webcrawler_spark.sources import seedlist
+
     orders = _t(spark, sf_dir, "orders")
     k1 = F.col("o_custkey").cast("string")
     i1 = F.col("o_orderkey").cast("string")
@@ -186,24 +189,11 @@ def q_seed_list_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('{"page":{"list":[{"create_id":'), k1, F.lit(',"id":'), i1,
         F.lit('},{"create_id":'), k2, F.lit(',"id":'), i2, F.lit("}]}}"),
     )
-    schema = "page struct<list: array<struct<create_id: double, id: double>>>"
-    parsed = orders.select(
-        F.col("o_orderkey").cast("long").alias("okey"),
-        F.from_json(js, schema).alias("j"),
+    listing = orders.select(
+        F.col("o_orderkey").cast("long").alias("okey"), js.alias("body")
     )
-    ex = parsed.select(
-        "okey", F.explode(F.col("j.page.list")).alias("s")
-    )
-    return ex.select(
-        "okey",
-        F.concat(
-            F.lit("http://www.bml365.com/qy/prod/v/"),
-            F.col("s.create_id").cast("long").cast("string"),
-            F.lit("-"),
-            F.col("s.id").cast("long").cast("string"),
-        ).alias("url"),
-        F.lit(0).cast("long").alias("depth"),
-    )
+    dec = seedlist.decode_listing(listing)
+    return dec.select("okey", "url", F.lit(0).cast("long").alias("depth"))
 
 
 def q_round_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
