@@ -470,6 +470,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default (no caller block): sign-bucket LSH blocks — the 100-TB path
+    where no label exists to block on."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.25)
+    return out.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "cos_sim",
+    )
+
+
 _SQL_SHINGLES = (
     "list_distinct(list_transform(range(len(toks) - 2),"
     " i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))"
@@ -606,15 +618,25 @@ def _sql_cos(a: str, b: str, na: str, nb: str) -> str:
     return f"({_SQL_DOT.format(a=a, b=b)} / ({na} * {nb}))"
 
 
-def _sql_dedup_embedding() -> str:
+def _sql_dedup_embedding(block: str = "label") -> str:
+    """block='label' (caller key) or 'lsh' (sign-bucket twin of
+    similarity.sign_bucket over the first 8 components)."""
     norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
+    if block == "lsh":
+        bucket_bits = " + ".join(
+            f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+            for i in range(8)
+        )
+        blk = f"({bucket_bits})::BIGINT"
+    else:
+        blk = "label"
     return f"""
 WITH v AS (
-  SELECT vec_id, label, embedding, {norm} AS nrm FROM embeddings
+  SELECT vec_id, {blk} AS blk, embedding, {norm} AS nrm FROM embeddings
 )
 SELECT a.vec_id::BIGINT AS id1, b.vec_id::BIGINT AS id2,
        round({_sql_cos("a.embedding", "b.embedding", "a.nrm", "b.nrm")}, 6) AS cos_sim
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
 WHERE round({_sql_cos("a.embedding", "b.embedding", "a.nrm", "b.nrm")}, 6) >= 0.25
 """
 
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
@@ -966,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "dedup_embedding": _sql_dedup_embedding(),
+        "dedup_embedding_lsh": _sql_dedup_embedding(block="lsh"),
         "ann_bruteforce": _sql_ann(bucketed=False),
         "ann_lsh": _sql_ann(bucketed=True),
         "multimodal_meta": _SQL_META,

@@ -411,12 +411,25 @@ def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.8,
+    lsh_nbits: int = 8,
 ) -> DataFrame:
-    """Cosine >= threshold pairs within a block (labels/LSH buckets keep
-    the join linear-ish; the cosine itself is oracle-exact double math)."""
-    extra = [block_col] if block_col else []
+    """Cosine >= threshold pairs within a block; the cosine itself is
+    oracle-exact double math (strict left fold).
+
+    block_col=None (the default) blocks by ``similarity.sign_bucket`` —
+    the deterministic random-hyperplane-LSH degenerate — so the operator
+    NEVER runs an unblocked all-pairs product: at 10^9 vectors the join is
+    a shuffle on the bucket key, recall bounded by the LSH trade (near-dup
+    pairs with cosine ~1 almost always share all nbits signs). A caller-
+    supplied block_col (label, shard, ...) replaces the LSH blocks."""
+    from .similarity import sign_bucket
+
+    if block_col is None:
+        emb = emb.withColumn("_lsh_block", sign_bucket(F.col(vec_col), lsh_nbits))
+        block_col = "_lsh_block"
+    extra = [block_col]
     a = emb.select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
