@@ -15,7 +15,7 @@ from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
 
 
 def _run_both(spark, fixture_web, tmp_path, parsers, with_politeness, use_bloom=True,
-              salt_buckets=None, bloom_min_seen=None):
+              salt_buckets=None, bloom_min_seen=None, hot_host_min_rows=None):
     paths = fixture_web["paths"]
     pages_df = spark.read.parquet(paths["pages"])
     seeds_df = spark.read.parquet(paths["seeds"])
@@ -43,6 +43,8 @@ def _run_both(spark, fixture_web, tmp_path, parsers, with_politeness, use_bloom=
     )
     if bloom_min_seen is not None:
         cfg.bloom_min_seen = bloom_min_seen
+    if hot_host_min_rows is not None:
+        cfg.hot_host_min_rows = hot_host_min_rows
     result = run_crawl(
         spark, pages_df, seeds_df, cfg,
         checkpoint_dir=str(tmp_path / f"ckpt_{parsers}_{with_politeness}"),
@@ -107,7 +109,8 @@ def test_auto_salt_on_hot_host(spark, fixture_web, tmp_path):
     top-k in at least one round, with order/seen/metrics still matching the
     oracle exactly."""
     golden, result = _run_both(spark, fixture_web, tmp_path, "combined",
-                               with_politeness=True, salt_buckets="auto")
+                               with_politeness=True, salt_buckets="auto",
+                               hot_host_min_rows=0)  # fixture-scale trigger
     _assert_match(spark, golden, result)
     assert any(m.get("salted") for m in result.metrics), \
         "auto-salt never engaged on the hot-host fixture"

@@ -86,10 +86,14 @@ class CrawlConfig:
     politeness_salt_buckets: int | str | None = "auto"  # int = fixed salt,
     # None = plain per-host window, "auto" = salt with defaultParallelism
     # buckets whenever the PREVIOUS round's committed queue (order ∪
-    # deferred) had a host above hot_host_share of the rows — detection
-    # reads only the committed host column, so the probe never taxes the
-    # hot path, and a hot host cannot pin its whole queue to one task
+    # deferred) had a host above hot_host_share of the rows AND above
+    # hot_host_min_rows — detection reads only the committed host column,
+    # so the probe never taxes the hot path, and a hot host cannot pin its
+    # whole queue to one task. The absolute floor matters: salting costs 3
+    # extra plan branches, a net LOSS when the single-host window task is
+    # already small (measured 2x slower on a 2k-page fixture crawl).
     hot_host_share: float = 0.05
+    hot_host_min_rows: int = 100_000
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -183,12 +187,26 @@ def run_crawl(
         seen = store.read_all(spark, "seen_delta", upto=last)
         rnd = last + 1
         result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
+        # driver-side running counts from the committed manifests — no
+        # re-count jobs on resume
+        last_counts = store.manifest(last).get("counts", {})
+        n_candidates = (
+            last_counts["next_candidates"]
+            if "next_candidates" in last_counts
+            else candidates.count()
+        )
+        n_seen_total = sum(
+            store.manifest(r).get("counts", {}).get("seen_delta", 0)
+            for r in store.committed_rounds()
+        )
     else:
         candidates = seeds_to_candidates(seeds)
         deferred = _empty(spark, QUEUE_SCHEMA)
         retry = _empty(spark, QUEUE_SCHEMA)
         seen = None
         rnd = 0
+        n_candidates = candidates.count()
+        n_seen_total = 0
 
     # pages is scanned every round: url + html only (column pruning reaches
     # the parquet scan; `text`/`lang` are never read by the crawl plan)
@@ -197,22 +215,20 @@ def run_crawl(
     hot_host = False  # skew signal from the previous round's queue
 
     while rnd <= cfg.max_rounds:
-        # counts on committed parquet are metadata-only (row-group stats) —
-        # the only full passes per round are: admission, the politeness
-        # window, and the fetch-join + parse (each executed exactly once
-        # thanks to the persists below).
-        n_candidates = candidates.count()
-
+        # all per-round counts come from observe() metrics captured during
+        # the commit writes (see RoundStore.commit_round) — the only full
+        # passes per round are: admission, the politeness window, and the
+        # fetch-join + parse (each executed exactly once thanks to the
+        # persists below).
         seen_df = seen if seen is not None else _empty(
             spark, T.StructType([T.StructField("url_sha1", T.StringType())])
         )
 
         prefilter = None
         if cfg.use_bloom and seen is not None:
-            n_seen = seen.count()  # metadata-only (parquet)
-            if n_seen >= cfg.bloom_min_seen:
+            if n_seen_total >= cfg.bloom_min_seen:
                 bloom = ShardedBloom.build(
-                    seen, n_seen=n_seen,
+                    seen, n_seen=n_seen_total,
                     fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
                 )
                 prefilter = bloom_split(spark, bloom)
@@ -344,13 +360,13 @@ def run_crawl(
         stats = {
             "round": rnd,
             "candidates": n_candidates,
-            "admitted": 0,  # filled below from committed parquet metadata
+            "admitted": 0,  # filled below from the commit's observe() counts
             "fetched": 0,
             "items": 0,
             "errors": 0,
             "deferred": 0,
         }
-        store.commit_round(
+        manifest = store.commit_round(
             rnd,
             {
                 "seen_delta": seen_delta,
@@ -365,15 +381,17 @@ def run_crawl(
             stats=stats,
         )
 
-        # post-commit stats: metadata-only counts on the committed parquet
-        n_admitted = store.read(spark, rnd, "seen_delta").count()
-        n_fetch = store.read(spark, rnd, "order").count()
-        items_c = store.read(spark, rnd, "items").count()
-        errors_c = store.read(spark, rnd, "errors").count()
+        # post-commit stats: observe() metrics captured during the writes
+        counts = manifest["counts"]
+        n_admitted = counts["seen_delta"]
+        n_fetch = counts["order"]
+        items_c = counts["items"]
+        errors_c = counts["errors"]
+        deferred_c = counts["deferred"]
+        retry_c = counts["retry"]
+        n_seen_total += n_admitted
         deferred = store.read(spark, rnd, "deferred")
-        deferred_c = deferred.count()
         retry = store.read(spark, rnd, "retry")
-        retry_c = retry.count()
 
         # hot-host probe for next round's auto-salt: committed host column
         # of this round's queue (order ∪ deferred) — a cheap columnar scan
@@ -388,6 +406,7 @@ def run_crawl(
             )
             hot_host = bool(
                 top and top["total"]
+                and top["mx"] > cfg.hot_host_min_rows
                 and top["mx"] / top["total"] > cfg.hot_host_share
             )
         stats.update({"admitted": n_admitted, "fetched": n_fetch,
@@ -407,8 +426,9 @@ def run_crawl(
         fetched.unpersist()
         parsed_all.unpersist()
 
+        n_candidates = counts["next_candidates"]
         rnd += 1
-        if candidates.count() == 0 and deferred_c == 0 and retry_c == 0:
+        if n_candidates == 0 and deferred_c == 0 and retry_c == 0:
             break
 
     last = store.last_committed()

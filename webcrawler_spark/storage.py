@@ -47,19 +47,30 @@ class RoundStore:
                      stats: dict | None = None, done: bool = False) -> dict:
         """Write all datasets of a round, then the manifest (atomic rename).
 
-        Returns the manifest dict (includes per-dataset row counts — the
-        driver-visible lineage record for the round).
+        Returns the manifest dict, including per-dataset row counts under
+        "counts" — collected with ``observe()`` DURING each write job, so
+        the commit itself produces the round's lineage record and the
+        caller never re-reads committed data just to count it.
         """
-        counts = {}
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        observations: dict[str, Observation] = {}
         for name, df in datasets.items():
             path = self.round_path(rnd, name)
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a killed, uncommitted run
-            df.write.mode("overwrite").parquet(path)
+            obs = Observation()
+            observations[name] = obs
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(path)
+        counts = {name: int(obs.get["rows"]) for name, obs in observations.items()}
         manifest = {
             "round": rnd,
             "committed_at": time.time(),
             "datasets": sorted(datasets.keys()),
+            "counts": counts,
             "stats": stats or {},
             "done": done,
         }
