@@ -432,6 +432,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle variant: shingles in > 3 docs are excluded from
+    candidate generation (hot-shingle guard), scores stay exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.jaccard_pairs(
+        docs, block_col="source", n=3, threshold=0.01, max_shingle_df=3
+    )
+    return out.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "jaccard",
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = dedup.minhash_lsh_pairs(docs, k=12, n=3, bands=4, threshold=0.01)
@@ -516,6 +530,41 @@ toksrc AS (
 
 def _sql_dedup_jaccard() -> str:
     return f"WITH {_sql_jaccard_core(block=True)} SELECT * FROM jac WHERE jaccard >= 0.01"
+
+
+def _sql_dedup_jaccard_capped(max_df: int = 3) -> str:
+    """Twin of jaccard_pairs(max_shingle_df=...): global df cap on the
+    candidate index; exact intersection restricted to candidate pairs."""
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS shingle FROM toksrc
+  WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_df}
+), rare AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.source = b.source
+), inter AS (
+  SELECT c.id1, c.id2, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY c.id1, c.id2
+)
+SELECT inter.id1::BIGINT AS id1, inter.id2::BIGINT AS id2,
+       round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = inter.id1
+JOIN sizes s2 ON s2.doc_id = inter.id2
+WHERE round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter)::DOUBLE, 6) >= 0.01
+"""
 
 
 def _sql_dedup_minhash_lsh(k: int = 12, bands: int = 4) -> str:
@@ -867,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -985,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_jaccard": _sql_dedup_jaccard(),
+        "dedup_jaccard_capped": _sql_dedup_jaccard_capped(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),

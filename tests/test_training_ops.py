@@ -115,6 +115,29 @@ class TestDedup:
         assert pairs[(0, 1)] == round(6 / (7 + 7 - 6), 6)
         assert (0, 3) not in pairs  # different blocks
 
+    def test_jaccard_stop_shingle_cap(self, docs):
+        """max_shingle_df excludes hot shingles from candidate generation
+        but scores surviving pairs EXACTLY (same value as the uncapped
+        run); a cap below every shingle's df yields no pairs."""
+        exact = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(
+                docs, block_col="source", n=3, threshold=0.0
+            ).collect()
+        }
+        capped = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(
+                docs, block_col="source", n=3, threshold=0.0, max_shingle_df=50
+            ).collect()
+        }
+        # generous cap: nothing excluded -> identical pairs AND values
+        assert capped == exact
+        none = dedup.jaccard_pairs(
+            docs, block_col="source", n=3, threshold=0.0, max_shingle_df=0
+        ).count()
+        assert none == 0
+
     def test_minhash_identical_docs_collide(self, docs):
         sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(12))
                 for r in dedup.minhash_signatures(docs, k=12).collect()}

@@ -113,13 +113,26 @@ def jaccard_pairs(
     block_col: str | None = "source",
     n: int = 3,
     threshold: float = 0.05,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard for every in-block pair with >=1 shared shingle.
 
     Inverted-index join: |A∩B| from the shingle equi-join, |A|,|B| from a
     per-doc count. Counts are integers; the single final division is
     double ⇒ cross-engine exact after round(…, 6).
+
+    max_shingle_df: stop-shingle cap. A shingle present in more than this
+    many documents is excluded from CANDIDATE generation (a boilerplate
+    shingle shared by 10^6 docs would alone contribute 10^12/2 join rows);
+    candidate pairs are then scored with the EXACT Jaccard over the full
+    per-doc shingle arrays, so only recall through hot shingles is traded,
+    never score accuracy. None = every shared shingle pairs (exact, the
+    default); at 100 TB pass a few hundred.
     """
+    if max_shingle_df is not None:
+        return _jaccard_pairs_capped(
+            df, id_col, text_col, block_col, n, threshold, max_shingle_df
+        )
     extra = [block_col] if block_col else []
     ex = _exploded_shingles(df, id_col, text_col, n, extra)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -156,6 +169,74 @@ def jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None,
+    n: int,
+    threshold: float,
+    max_shingle_df: int,
+) -> DataFrame:
+    """Stop-shingle variant: candidates from the df-capped inverted index,
+    exact verify via per-doc shingle arrays (same shape as the MinHash
+    verify path — candidate ids semi-join-prune the array table)."""
+    extra = [block_col] if block_col else []
+    ex = _exploded_shingles(df, id_col, text_col, n, extra)
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("shingle")
+    )
+    rare = ex.join(hot, on="shingle", how="left_anti")
+    left = rare.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(c).alias(f"_b1_{c}") for c in extra],
+        "shingle",
+    )
+    right = rare.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(c).alias(f"_b2_{c}") for c in extra],
+        F.col("shingle").alias("shingle2"),
+    )
+    cond = [F.col("shingle") == F.col("shingle2"), F.col("id1") < F.col("id2")]
+    for c in extra:
+        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
+    cand = left.join(right, cond).select("id1", "id2").distinct()
+    cand_ids = (
+        cand.select(F.col("id1").alias(id_col))
+        .unionByName(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh_arr = (
+        _widen(df).select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        .join(cand_ids, on=id_col, how="left_semi")
+        .withColumn("_n_sh", F.size("_sh"))
+    )
+    a = sh_arr.select(
+        F.col(id_col).alias("id1"), F.col("_sh").alias("_sh1"), F.col("_n_sh").alias("_n1")
+    )
+    b = sh_arr.select(
+        F.col(id_col).alias("id2"), F.col("_sh").alias("_sh2"), F.col("_n_sh").alias("_n2")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh1"), F.col("_sh2")))
+    return (
+        cand.join(a, on="id1")
+        .join(b, on="id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                inter.cast("double")
+                / (F.col("_n1") + F.col("_n2") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # -------------------------------------------------------------- minhash ----
