@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
 from .textstats import tokens
 
 HEX = "0123456789abcdef"
@@ -507,18 +506,24 @@ def embedding_neardup_pairs(
     supplied block_col (label, shard, ...) replaces the LSH blocks."""
     from .similarity import sign_bucket
 
+    from .similarity import dot, norm2
+
     if block_col is None:
         emb = emb.withColumn("_lsh_block", sign_bucket(F.col(vec_col), lsh_nbits))
         block_col = "_lsh_block"
     extra = [block_col]
+    # norms once per vector, not per pair (per-pair would redo the O(dim)
+    # fold |block| times per row); double math unchanged -> oracle-exact
     a = emb.select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
+        norm2(F.col(vec_col)).alias("_n1"),
         *[F.col(c).alias(f"_b1_{c}") for c in extra],
     )
     b = emb.select(
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
+        norm2(F.col(vec_col)).alias("_n2"),
         *[F.col(c).alias(f"_b2_{c}") for c in extra],
     )
     cond = [F.col("id1") < F.col("id2")]
@@ -526,7 +531,12 @@ def embedding_neardup_pairs(
         cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
     return (
         a.join(b, cond)
-        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )

@@ -68,19 +68,28 @@ def topk_bruteforce(
 
     ``queries`` is broadcast — the corpus never shuffles for the join; the
     cross product is scanned partition-parallel and only (query, score)
-    pairs reach the ranking window.
+    pairs reach the ranking window. Norms are computed ONCE per vector
+    before the join (a per-pair norm would redo an O(dim) fold |Q| times
+    per corpus row); the double math is unchanged, so scores stay
+    oracle-exact.
     Rank order: round(cos, 6) desc, neighbor id asc — fully deterministic.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -110,11 +119,13 @@ def topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     scored = (
@@ -123,7 +134,9 @@ def topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,80 @@
+"""robots.txt parsing — raw fetched bodies -> the (host, disallow_prefixes)
+dim table the admission filter broadcasts (operators/admission.py).
+
+NEW per north_rule (the reference has no robots support; its only
+politeness is MaxIdleConnsPerHost=5, exampes/finder/internal/client.go:22).
+Grammar follows the public Robots Exclusion Protocol (RFC 9309 subset):
+
+* lines are `field: value`, `#` starts a comment, blank lines ignored;
+* a GROUP is a run of consecutive ``User-agent`` lines followed by rules;
+* we honor the ``*`` user-agent groups' ``Disallow`` prefixes (an empty
+  Disallow value means allow-all and contributes nothing). ``Allow``
+  precedence and wildcards are out of scope — prefix-only matching, the
+  same semantics ``admission.admission_filters`` enforces.
+
+Everything is native DataFrame algebra: split/posexplode for lines, two
+window passes over (host, line position) to assign each rule line to its
+governing user-agent group. Windows are per host — bodies are a few KB,
+so even 10^8 hosts shuffle fine on the host key; there is no per-row
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) -> (host, disallow_prefixes array<string>, sorted).
+
+    Hosts whose body yields no applicable rules produce NO row (same as an
+    absent robots.txt — the admission left join treats both as
+    unrestricted).
+    """
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    )
+    # strip comments + whitespace; field names are case-insensitive
+    clean = F.trim(F.substring_index(F.col("raw"), "#", 1))
+    parsed = (
+        lines.withColumn("line", clean)
+        .filter(F.col("line") != "")
+        .withColumn("kind", F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))))
+        .withColumn(
+            "value",
+            F.trim(F.substring(F.col("line"), F.instr(F.col("line"), ":") + 1, F.lit(1 << 30))),
+        )
+        .filter(F.instr(F.col("line"), ":") > 0)
+    )
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("kind") == "user-agent").cast("int")
+    # group id: a ua line NOT preceded by another ua line starts a new group
+    starts_group = (
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(starts_group).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    # which groups name the wildcard agent
+    star_groups = (
+        grouped.filter((F.col("kind") == "user-agent") & (F.col("value") == "*"))
+        .select("host", "group_id")
+        .distinct()
+    )
+
+    rules = (
+        grouped.filter((F.col("kind") == "disallow") & (F.col("value") != ""))
+        .join(star_groups, on=["host", "group_id"], how="left_semi")
+        .select("host", F.col("value").alias("prefix"))
+        .distinct()
+    )
+    return rules.groupBy("host").agg(
+        F.array_sort(F.collect_list("prefix")).alias("disallow_prefixes")
+    )

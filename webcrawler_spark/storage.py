@@ -52,11 +52,21 @@ class RoundStore:
         the commit itself produces the round's lineage record and the
         caller never re-reads committed data just to count it.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         observations: dict[str, Observation] = {}
-        for name, df in datasets.items():
+
+        def write_one(item):
+            # concurrent job submission: the datasets are small independent
+            # writes (Spark schedules them across the same executors), so
+            # commit wall time is max(write) instead of sum(write) — the
+            # dominant share of the per-round fixed cost. Thread-safe: each
+            # thread touches its own path/Observation; SparkSession job
+            # submission is thread-safe by design.
+            name, df = item
             path = self.round_path(rnd, name)
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a killed, uncommitted run
@@ -65,6 +75,9 @@ class RoundStore:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite"
             ).parquet(path)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(datasets))) as pool:
+            list(pool.map(write_one, datasets.items()))
         counts = {name: int(obs.get["rows"]) for name, obs in observations.items()}
         manifest = {
             "round": rnd,
