@@ -718,6 +718,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (deterministic lowest-id centroids,
+    nprobe=2) — the cell-probing scale path next to brute-force/LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos_sim",
+    )
+
+
+def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 2, k: int = 5) -> str:
+    norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
+    cell_cos = _sql_cos("s.embedding", "c.cv", "s.nrm", "c.cn")
+    pair_cos = _sql_cos("q.qv", "v.embedding", "q.qn", "v.nrm")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+  FROM v ORDER BY vec_id LIMIT {n_centroids}
+), corpus_cells AS (
+  SELECT vid, cid FROM (
+    SELECT s.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS cr
+    FROM v s CROSS JOIN cent c
+  ) WHERE cr <= 1
+), probes AS (
+  SELECT vid AS query_id, cid FROM (
+    SELECT s.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS cr
+    FROM v s CROSS JOIN cent c
+    WHERE s.vec_id % 100 = 0
+  ) WHERE cr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, cc.vid AS neighbor_id,
+         round({pair_cos}, 6) AS cos_sim
+  FROM corpus_cells cc
+  JOIN probes p ON p.cid = cc.cid AND cc.vid <> p.query_id
+  JOIN v ON v.vec_id = cc.vid
+  JOIN (SELECT vec_id, embedding AS qv, nrm AS qn FROM v) q
+    ON q.vec_id = p.query_id
+), rankd AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       neighbor_id::BIGINT AS neighbor_id, cos_sim
+FROM rankd WHERE rank <= {k}
+"""
+
+
 def _sql_ann(bucketed: bool) -> str:
     norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
     bucket_bits = " + ".join(
@@ -924,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1043,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _sql_dedup_embedding(block="lsh"),
         "ann_bruteforce": _sql_ann(bucketed=False),
         "ann_lsh": _sql_ann(bucketed=True),
+        "ann_ivf": _sql_ann_ivf(),
         "multimodal_meta": _SQL_META,
         "multimodal_resize": _SQL_RESIZE,
         "multimodal_frames": _SQL_FRAMES,

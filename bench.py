@@ -105,6 +105,7 @@ def main() -> None:
         "dedup_embedding_lsh",
         "ann_bruteforce",
         "ann_lsh",
+        "ann_ivf",
         "multimodal_meta",
     ]
     qs = entrymod.queries()

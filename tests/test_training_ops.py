@@ -206,6 +206,26 @@ class TestSimilarity:
         # 4 (negative first component) lands in another bucket; 1 and 3 share
         assert 1 in ids and 3 in ids and 4 not in ids
 
+    def test_ivf_cells_and_recall(self, vectors):
+        # centroids = 2 lowest-id vectors: cells around [1,0,0,0] and
+        # (duplicate) [1,0,0,0] — force 3 centroids so the orthogonal and
+        # opposite vectors split off
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = similarity.topk_ivf(vectors, q, k=4, n_centroids=3, nprobe=1)
+        rows = {r["neighbor_id"]: r["cos_sim"] for r in out.collect()}
+        # query's cell (centroid 0's) holds ids 1 and 3; 2/4 live in other
+        # cells and are not probed at nprobe=1
+        assert set(rows) == {1, 3}
+        assert rows[1] == 1.0
+        # nprobe=3 probes every cell -> full recall, matches brute force
+        out_all = similarity.topk_ivf(vectors, q, k=4, n_centroids=3, nprobe=3)
+        brute = similarity.topk_bruteforce(vectors, q, k=4)
+        assert sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out_all.collect()
+        ) == sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in brute.collect()
+        )
+
     def test_embedding_neardup(self, vectors):
         pairs = {
             (r["id1"], r["id2"]): r["cos_sim"]

@@ -102,6 +102,90 @@ def topk_bruteforce(
     )
 
 
+def topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells, probe only the
+    query's ``nprobe`` nearest cells.
+
+    Coarse centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic and seed-free so any engine reproduces the exact cell
+    structure (a k-means-trained centroid table is a drop-in replacement:
+    the assignment/probe plan below only needs (cid, vector) rows).
+
+    Plan shape at 10^9 vectors: centroids broadcast (tiny); assignment is
+    a map-side cross product x n_centroids + one max_by aggregate per
+    vector (no data shuffle beyond the groupBy on id); the probe join is a
+    shuffle on the cell id — candidates per query ~ nprobe/n_centroids of
+    the corpus, the IVF trade. Rank order: round(cos, 6) desc, neighbor
+    id asc — deterministic.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        norm2(F.col(vec_col)).alias("vn"),
+    )
+    # TakeOrderedAndProject — distributed top-N, no single-task window
+    centroids = (
+        v.orderBy(F.col("vid").asc())
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cid"), F.col("vv").alias("cv"),
+                F.col("vn").alias("cn"))
+    )
+    cell_score = F.round(
+        dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+    )
+
+    def assign(side: DataFrame, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            "vid", "vv", "vn", "cid", cell_score.alias("_cs")
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("_cs").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= keep)
+            .select("vid", "vv", "vn", "cid")
+        )
+
+    corpus_cells = assign(v, 1)
+    q = queries.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        norm2(F.col(vec_col)).alias("vn"),
+    )
+    probes = assign(q, nprobe).select(
+        F.col("vid").alias("query_id"), F.col("vv").alias("qv"),
+        F.col("vn").alias("qn"), "cid",
+    )
+    scored = (
+        corpus_cells.join(probes, on="cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cos_sim"),
+        )
+    )  # corpus rows live in exactly ONE cell -> no cross-probe duplicates
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
