@@ -29,7 +29,9 @@ def main() -> None:
                     help="comma-separated primary domains; default: fixtures.WHITELIST")
     ap.add_argument("--max-depth", type=int, default=3)
     ap.add_argument("--max-rounds", type=int, default=20)
-    ap.add_argument("--salt-buckets", type=int, default=None)
+    ap.add_argument("--salt-buckets", default="auto",
+                    help="'auto' (hot-host probe, default), 'none', or an int")
+    ap.add_argument("--max-fetch-retries", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -49,11 +51,14 @@ def main() -> None:
         robots = robots_df.select("host", "disallow_prefixes")
 
     whitelist = args.whitelist.split(",") if args.whitelist else fixtures.WHITELIST
+    sb = args.salt_buckets
+    salt = None if sb == "none" else ("auto" if sb == "auto" else int(sb))
     cfg = CrawlConfig(
         whitelist=whitelist,
         max_depth=args.max_depth,
         max_rounds=args.max_rounds,
-        politeness_salt_buckets=args.salt_buckets,
+        politeness_salt_buckets=salt,
+        max_fetch_retries=args.max_fetch_retries,
     )
     result = run_crawl(
         spark, pages, seeds, cfg, checkpoint_dir=args.checkpoint,
