@@ -412,6 +412,39 @@ FROM documents
 # queries — deduplication
 # ---------------------------------------------------------------------------
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleanup pipeline a training-data run chains:
+    exact-dedup keepers only -> language gate (en) -> quality floor.
+    Each stage is the same operator the standalone queries exercise; this
+    entry proves they compose into one Catalyst plan (one scan, the dedup
+    groupBy, and a semi-join — no operator-boundary materialization)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.drop_exact_dups(docs)
+    return (
+        kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            textstats.lang_id(F.col("text")).alias("lang_pred"),
+            textstats.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )
+
+
+def _sql_corpus_clean() -> str:
+    lang = _sql_lang_id().strip()
+    qual = _sql_quality().strip()
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), lang AS ({lang}), qual AS ({qual})
+SELECT k.doc_id::BIGINT AS doc_id, lang.lang_pred, qual.quality
+FROM keep k
+JOIN lang ON lang.doc_id = k.doc_id
+JOIN qual ON qual.doc_id = k.doc_id
+WHERE lang.lang_pred = 'en' AND qual.quality >= 0.5
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = dedup.exact_dedup_groups(docs)
@@ -974,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1095,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_jaccard": _sql_dedup_jaccard(),
+        "corpus_clean": _sql_corpus_clean(),
         "dedup_jaccard_capped": _sql_dedup_jaccard_capped(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _sql_dedup_simhash(),
