@@ -341,6 +341,36 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-bigram fraction +
+    distinct-bigram ratio per document."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.repetition_stats(docs, n=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "top_ngram_frac",
+        "distinct_ngram_frac",
+    )
+
+
+def _sql_text_repetition(n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j + 1}]" for j in range(n))
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {n - 1}), i -> {gram})) AS gram
+  FROM toksrc WHERE len(toks) >= {n}
+), cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac,
+       round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS distinct_ngram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1006,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1123,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_quality(),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
+        "text_repetition": _sql_text_repetition(),
         "dedup_exact": """
             SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies,
                    min(doc_id)::BIGINT AS keeper_id

@@ -115,6 +115,23 @@ class TestDedup:
         assert pairs[(0, 1)] == round(6 / (7 + 7 - 6), 6)
         assert (0, 3) not in pairs  # different blocks
 
+    def test_repetition_stats(self, spark):
+        from webcrawler_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x y z w")], "doc_id: long, text: string"
+        )
+        rows = {
+            r["doc_id"]: (r["top_ngram_frac"], r["distinct_ngram_frac"])
+            for r in textstats.repetition_stats(df).collect()
+        }
+        # doc1 bigrams (with multiplicity): [a b, b a, a b, b a, a b]
+        assert rows[1] == (0.6, 0.4)
+        # doc2: 3 distinct bigrams, each once
+        assert rows[2] == (round(1 / 3, 6), 1.0)
+        short = spark.createDataFrame([(3, "only")], "doc_id: long, text: string")
+        assert textstats.repetition_stats(short).count() == 0
+
     def test_jaccard_stop_shingle_cap(self, docs):
         """max_shingle_df excludes hot shingles from candidate generation
         but scores surviving pairs EXACTLY (same value as the uncapped

@@ -135,6 +135,48 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public): per doc,
+    the fraction of word n-grams occupied by the single most frequent one
+    (`top_ngram_frac`, high = templated/repetitive boilerplate) and the
+    distinct-n-gram ratio (`distinct_ngram_frac`, low = repetitive).
+
+    N-grams keep multiplicity (unlike dedup.shingles). Plan: one explode +
+    two hash aggregates keyed by (id, gram) then id — map-side combined,
+    no joins; at 100 TB this is a single shuffle on the gram-count key.
+    Docs with fewer than n tokens produce no row (no n-grams to measure).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.explode(F.when(F.size(toks) >= n, grams)).alias("gram")
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max("c").alias("_top"),
+            F.sum("c").alias("_total"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top").cast("double") / F.col("_total").cast("double"), 6)
+            .alias("top_ngram_frac"),
+            F.round(
+                F.col("_distinct").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("distinct_ngram_frac"),
+        )
+    )
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One codegen'd projection adding all text-analysis columns."""
     t = F.col(text_col)
