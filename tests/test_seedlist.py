@@ -30,9 +30,11 @@ class TestSeedRequests:
             "http://www.bml365.com/qy/prod/v/4-18",
         ]
 
-    def test_page_window_inclusive(self, spark):
-        # Go loop: for i := startPage; i <= pageNum; i++ (JcUx.go:55)
-        rows = [(p, _body([(p, p * 100)])) for p in range(1, 6)]
+    def test_page_window_is_count(self, spark):
+        # Go loop: for i := startPage; i < startPage+pageNum; i++
+        # (JcUx.go:50) — pageNum is a COUNT, so startPage=2, pageNum=4
+        # fetches pages 2,3,4,5.
+        rows = [(p, _body([(p, p * 100)])) for p in range(1, 8)]
         got = {
             r["url"]
             for r in seedlist.seed_requests(
@@ -40,7 +42,7 @@ class TestSeedRequests:
             ).collect()
         }
         assert got == {
-            f"http://www.bml365.com/qy/prod/v/{p}-{p * 100}" for p in (2, 3, 4)
+            f"http://www.bml365.com/qy/prod/v/{p}-{p * 100}" for p in (2, 3, 4, 5)
         }
 
     def test_order_ranks_by_page_then_position(self, spark):

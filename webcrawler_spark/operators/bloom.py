@@ -136,11 +136,22 @@ class ShardedBloom:
         if expected_per_shard is None or shard_bits is None:
             if n_seen is None:
                 n_seen = seen.count()
-            auto_bits, auto_expected = cls.plan(n_seen, fpp)
-            if shard_bits is None:
-                shard_bits = auto_bits
-            if expected_per_shard is None:
-                expected_per_shard = auto_expected
+            if shard_bits is None and expected_per_shard is None:
+                shard_bits, expected_per_shard = cls.plan(n_seen, fpp)
+            elif shard_bits is None:
+                # expected_per_shard given: shard count must hold n_seen
+                # at that per-shard load
+                shard_bits = max(
+                    0, math.ceil(math.log2(max(1.0, n_seen * 1.2 / expected_per_shard)))
+                )
+            else:
+                # shard_bits given: size each shard for the keys that will
+                # actually land in it (deriving from plan()'s AUTO shard
+                # count instead would e.g. pack n keys meant for 2^auto
+                # shards into 2^shard_bits and saturate the filter)
+                expected_per_shard = max(
+                    1024, math.ceil(n_seen * 1.2 / (1 << shard_bits))
+                )
         m = cls._optimal_m(expected_per_shard, fpp)
         k = max(1, round(m / max(1, expected_per_shard) * math.log(2)))
         proto = cls(shard_bits, m, k, {})

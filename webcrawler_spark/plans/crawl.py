@@ -179,6 +179,10 @@ def run_crawl(
 
         candidates = store.read(spark, last, "next_candidates")
         deferred = store.read(spark, last, "deferred")
+        if "attempts" not in deferred.columns:
+            # checkpoint written before retry support: deferred rows never
+            # failed a fetch, so attempts starts at 0
+            deferred = deferred.withColumn("attempts", F.lit(0).cast("long"))
         retry = (
             store.read(spark, last, "retry")
             if _os.path.exists(store.round_path(last, "retry"))
@@ -212,7 +216,14 @@ def run_crawl(
     # the parquet scan; `text`/`lang` are never read by the crawl plan)
     pages_fetch = pages.select("url", "html")
 
-    hot_host = False  # skew signal from the previous round's queue
+    # skew signal from the previous round's queue; persisted in the manifest
+    # stats so a resumed run salts its first round when the last committed
+    # round's queue had a hot host (instead of waiting one round to re-learn)
+    hot_host = False
+    if last is not None:
+        hot_host = bool(
+            store.manifest(last).get("stats", {}).get("hot_host_next", False)
+        )
 
     while rnd <= cfg.max_rounds:
         # all per-round counts come from observe() metrics captured during
@@ -412,7 +423,8 @@ def run_crawl(
         stats.update({"admitted": n_admitted, "fetched": n_fetch,
                       "items": items_c, "errors": errors_c,
                       "deferred": deferred_c, "retried": retry_c,
-                      "salted": bool(salt_buckets)})
+                      "salted": bool(salt_buckets),
+                      "hot_host_next": bool(hot_host)})
         store.update_stats(rnd, stats)
         result.metrics.append(stats)
 

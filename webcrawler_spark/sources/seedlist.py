@@ -72,9 +72,12 @@ def seed_requests(
     body_col: str = "body",
     prefix: str = URL_PREFIX,
 ) -> DataFrame:
-    """InitReqList(startPage, pageNum): seeds from pages
-    ``start_page..page_num`` INCLUSIVE (the Go loop bound
-    ``for i := startPage; i <= pageNum; i++``, JcUx.go:55).
+    """InitReqList(startPage, pageNum): seeds from ``page_num`` consecutive
+    pages starting at ``start_page`` — pages
+    ``start_page .. start_page + page_num - 1`` (the Go loop bound
+    ``for i := startPage; i < startPage+pageNum; i++``, JcUx.go:50;
+    pageNum is a COUNT, "一共爬多少页" = how many pages in total,
+    JcUx.go:46).
 
     Returns the seeds schema ``(url, order)`` consumed by
     ``plans.crawl.seeds_to_candidates`` — order is the deterministic
@@ -82,7 +85,8 @@ def seed_requests(
     goroutine puts are unordered anyway; SURVEY §5.2).
     """
     window = listing.filter(
-        (F.col(page_col) >= F.lit(start_page)) & (F.col(page_col) <= F.lit(page_num))
+        (F.col(page_col) >= F.lit(start_page))
+        & (F.col(page_col) < F.lit(start_page + page_num))
     )
     dec = decode_listing(window, body_col=body_col, prefix=prefix)
     return dec.select(
