@@ -486,6 +486,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default Jaccard path — now the candidate-pruned plan (auto stop-
+    shingle cap of dedup.DEFAULT_MAX_SHINGLE_DF=256, far above the
+    fixture's max shingle df of 7 at sf0.01 / 25 at sf0.1, so the output
+    is identical to the uncapped oracle SQL while the plan shape is the
+    one that survives a boilerplate shingle shared by 10^6 docs)."""
     docs = _t(spark, sf_dir, "documents")
     out = dedup.jaccard_pairs(docs, block_col="source", n=3, threshold=0.01)
     return out.select(

@@ -98,6 +98,7 @@ def main() -> None:
         "text_fingerprint",
         "dedup_exact",
         "dedup_jaccard",
+        "dedup_jaccard_capped",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_simhash_pairs",

@@ -139,7 +139,8 @@ class TestDedup:
         exact = {
             (r["id1"], r["id2"]): r["jaccard"]
             for r in dedup.jaccard_pairs(
-                docs, block_col="source", n=3, threshold=0.0
+                docs, block_col="source", n=3, threshold=0.0,
+                max_shingle_df=None,  # explicit exact-quadratic escape hatch
             ).collect()
         }
         capped = {
@@ -150,6 +151,14 @@ class TestDedup:
         }
         # generous cap: nothing excluded -> identical pairs AND values
         assert capped == exact
+        # the DEFAULT is the capped plan (auto cap, prunes nothing here)
+        default = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(
+                docs, block_col="source", n=3, threshold=0.0
+            ).collect()
+        }
+        assert default == exact
         none = dedup.jaccard_pairs(
             docs, block_col="source", n=3, threshold=0.0, max_shingle_df=0
         ).count()

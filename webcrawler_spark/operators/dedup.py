@@ -105,6 +105,15 @@ def _exploded_shingles(
     )
 
 
+# Default stop-shingle document-frequency cap: far above any real
+# near-duplicate cluster's size at test scale (so results are identical to
+# the exact-quadratic path on the fixtures) while bounding the worst-case
+# join fan-out per shingle to DF^2/2 rows at corpus scale — one boilerplate
+# shingle shared by 10^6 docs would otherwise alone contribute ~10^12/2
+# candidate rows.
+DEFAULT_MAX_SHINGLE_DF = 256
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,7 +121,7 @@ def jaccard_pairs(
     block_col: str | None = "source",
     n: int = 3,
     threshold: float = 0.05,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """True n-gram Jaccard for every in-block pair with >=1 shared shingle.
 
@@ -121,13 +130,16 @@ def jaccard_pairs(
     double ⇒ cross-engine exact after round(…, 6).
 
     max_shingle_df: stop-shingle cap. A shingle present in more than this
-    many documents is excluded from CANDIDATE generation (a boilerplate
-    shingle shared by 10^6 docs would alone contribute 10^12/2 join rows);
-    candidate pairs are then scored with the EXACT Jaccard over the full
-    per-doc shingle arrays, so only recall through hot shingles is traded,
-    never score accuracy. None = every shared shingle pairs (exact, the
-    default); at 100 TB pass a few hundred.
+    many documents is excluded from CANDIDATE generation; candidate pairs
+    are then scored with the EXACT Jaccard over the full per-doc shingle
+    arrays, so only recall through hot shingles is traded, never score
+    accuracy. The DEFAULT is "auto" (= DEFAULT_MAX_SHINGLE_DF): the
+    scale-safe candidate-pruned plan is what you get unless you opt out.
+    Pass None explicitly to accept the exact-quadratic inverted-index
+    self-join (safe only when no shingle is shared by ~thousands of docs).
     """
+    if max_shingle_df == "auto":
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
     if max_shingle_df is not None:
         return _jaccard_pairs_capped(
             df, id_col, text_col, block_col, n, threshold, max_shingle_df
@@ -181,30 +193,45 @@ def _jaccard_pairs_capped(
 ) -> DataFrame:
     """Stop-shingle variant: candidates from the df-capped inverted index,
     exact verify via per-doc shingle arrays (same shape as the MinHash
-    verify path — candidate ids semi-join-prune the array table)."""
+    verify path — candidate ids semi-join-prune the array table).
+
+    Candidate generation is ONE shuffle: group the inverted index by
+    shingle, drop hot shingles by postings-list size (== global doc
+    frequency; shingles are distinct per doc), and emit in-block id pairs
+    from each surviving postings list with a nested higher-order transform
+    (<= cap ids -> <= cap^2/2 pairs, all inside codegen). This replaces the
+    earlier hot-set groupBy + anti-join + inverted-index self-join — three
+    shuffles folded into one, and the pair fan-out is bounded BY
+    CONSTRUCTION, not just filtered after the fact."""
     extra = [block_col] if block_col else []
     ex = _exploded_shingles(df, id_col, text_col, n, extra)
-    hot = (
+    posting = F.struct(
+        *[F.col(c).alias(f"_b_{c}") for c in extra], F.col(id_col).alias("_id")
+    )
+    grouped = (
         ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_shingle_df)
-        .select("shingle")
+        .agg(F.collect_list(posting).alias("_xs"))
+        .filter(F.size("_xs") <= max_shingle_df)
     )
-    rare = ex.join(hot, on="shingle", how="left_anti")
-    left = rare.select(
-        F.col(id_col).alias("id1"),
-        *[F.col(c).alias(f"_b1_{c}") for c in extra],
-        "shingle",
+
+    def _pairs_with(a):
+        def ok(b):
+            c = a["_id"] < b["_id"]
+            for col in extra:
+                c = c & (a[f"_b_{col}"] == b[f"_b_{col}"])
+            return c
+
+        return F.transform(
+            F.filter(F.col("_xs"), ok),
+            lambda b: F.struct(a["_id"].alias("id1"), b["_id"].alias("id2")),
+        )
+
+    pair_arr = F.flatten(F.transform(F.col("_xs"), _pairs_with))
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
+        .distinct()
     )
-    right = rare.select(
-        F.col(id_col).alias("id2"),
-        *[F.col(c).alias(f"_b2_{c}") for c in extra],
-        F.col("shingle").alias("shingle2"),
-    )
-    cond = [F.col("shingle") == F.col("shingle2"), F.col("id1") < F.col("id2")]
-    for c in extra:
-        cond.append(F.col(f"_b1_{c}") == F.col(f"_b2_{c}"))
-    cand = left.join(right, cond).select("id1", "id2").distinct()
     cand_ids = (
         cand.select(F.col("id1").alias(id_col))
         .unionByName(cand.select(F.col("id2").alias(id_col)))
