@@ -4,7 +4,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from webcrawler_spark.operators.bloom import ShardedBloom
+from webcrawler_spark.operators.bloom import BloomTable, ShardedBloom
 from webcrawler_spark.urlnorm import sha1_hex
 
 
@@ -94,3 +94,81 @@ def test_empty_seen(spark):
     bloom = ShardedBloom.build(df, expected_per_shard=1000, fpp=0.01)
     probes = pd.Series(_hashes(100, "x"))
     assert not bloom.might_contain(probes).any()  # everything definitely new
+
+
+# ---------------------------------------------------------------------------
+# BloomTable: the sharded DISTRIBUTED probe (no whole-filter broadcast)
+# ---------------------------------------------------------------------------
+
+def _cand_df(spark, keys):
+    return spark.createDataFrame(
+        [(k, f"u{i}") for i, k in enumerate(keys)], ["url_sha1", "url"]
+    ).repartition(8)
+
+
+def test_bloomtable_split_no_false_negatives(spark):
+    seen_keys = _hashes(5000, "in")
+    seen = spark.createDataFrame([(k,) for k in seen_keys], ["url_sha1"]).repartition(8)
+    table = BloomTable.build(seen, expected_per_shard=2000, fpp=0.01, shard_bits=4)
+    try:
+        scratch: list = []
+        maybe, new = table.split(_cand_df(spark, seen_keys), scratch=scratch)
+        # every seen key must land in maybe (a false negative loses URLs)
+        assert maybe.count() == 5000
+        assert new.count() == 0
+        for df in scratch:
+            df.unpersist()
+    finally:
+        table.unpersist()
+
+
+def test_bloomtable_split_fp_bounded_and_schema(spark):
+    seen = spark.createDataFrame(
+        [(k,) for k in _hashes(5000, "in")], ["url_sha1"]
+    ).repartition(8)
+    table = BloomTable.build(seen, expected_per_shard=2000, fpp=0.01, shard_bits=4)
+    try:
+        out_keys = _hashes(20000, "out")
+        maybe, new = table.split(_cand_df(spark, out_keys))
+        n_maybe, n_new = maybe.count(), new.count()
+        assert n_maybe + n_new == 20000
+        assert n_maybe / 20000 < 0.05  # fp rate
+        assert maybe.columns == ["url_sha1", "url"]  # passthrough schema
+    finally:
+        table.unpersist()
+
+
+def test_bloomtable_one_shard_per_task(spark):
+    """The scale invariant (round-2 verdict item 1): no probe call ever
+    holds more than one shard bitmap, and every shard bitmap respects the
+    per-shard byte cap — so peak task memory is ONE <=16 MB bitmap no
+    matter how many keys the fleet has seen. The >1-bitmap case raises
+    inside the probe, so the split()s above double as the negative test;
+    here we also check the bitmap table's shape directly at a simulated
+    larger shard count."""
+    seen = spark.createDataFrame(
+        [(k,) for k in _hashes(20000, "big")], ["url_sha1"]
+    ).repartition(16)
+    table = BloomTable.build(seen, expected_per_shard=1000, fpp=0.01, shard_bits=5)
+    try:
+        rows = table.bitmaps.collect()
+        assert 1 < len(rows) <= 32
+        assert len({r["shard"] for r in rows}) == len(rows)  # one bitmap/shard
+        for r in rows:
+            assert len(r["bitmap"]) <= ShardedBloom.MAX_SHARD_BYTES
+        # probing still exact through the cogroup path
+        maybe, new = table.split(_cand_df(spark, _hashes(20000, "big")))
+        assert new.count() == 0
+    finally:
+        table.unpersist()
+
+
+def test_bloomtable_empty_seen(spark):
+    seen = spark.createDataFrame([], "url_sha1 string")
+    table = BloomTable.build(seen, expected_per_shard=1000, fpp=0.01)
+    try:
+        maybe, new = table.split(_cand_df(spark, _hashes(200, "x")))
+        assert maybe.count() == 0
+        assert new.count() == 200
+    finally:
+        table.unpersist()

@@ -119,7 +119,7 @@ class ShardedBloom:
     def build(cls, seen: DataFrame, key_col: str = "url_sha1",
               expected_per_shard: int | None = None, fpp: float = 0.01,
               shard_bits: int | None = None,
-              n_seen: int | None = None) -> "ShardedBloom":
+              n_seen: int | None = None, as_table: bool = False):
         """Build from a seen table, distributed end-to-end:
 
         1. sizing: explicit (expected_per_shard, shard_bits) or derived
@@ -187,12 +187,7 @@ class ShardedBloom:
 
         keyed = seen.select(F.col(key_col).cast("string").alias("_k"))
         if sb:
-            # shard id natively: first 8 hex chars as uint32 >> (32-sb).
-            shard_expr = F.shiftright(
-                F.conv(F.substring(F.col("_k"), 1, 8), 16, 10).cast("long"),
-                32 - sb,
-            )
-            keyed = keyed.repartition(1 << sb, shard_expr)
+            keyed = keyed.repartition(1 << sb, _shard_expr(F.col("_k"), sb))
 
         partials = keyed.mapInArrow(build_partials, "shard long, bitmap binary")
 
@@ -204,12 +199,14 @@ class ShardedBloom:
                 {"shard": [pdf["shard"].iloc[0]], "bitmap": [out.tobytes()]}
             )
 
-        merged = partials.groupBy("shard").applyInPandas(
+        bitmaps = partials.groupBy("shard").applyInPandas(
             or_merge, "shard long, bitmap binary"
-        ).collect()
+        )
+        if as_table:
+            return shard_bits, m, k, bitmaps
         shards: dict[int, np.ndarray] = {
             int(row["shard"]): np.frombuffer(row["bitmap"], dtype=np.uint8)
-            for row in merged
+            for row in bitmaps.collect()
         }
         return cls(shard_bits, m, k, shards)
 
@@ -227,9 +224,132 @@ class ShardedBloom:
         return ShardedBloom(self.shard_bits, self.m, self.k, shards)
 
 
+def _shard_expr(key_col, shard_bits: int):
+    """Native shard id of a sha1-hex key: first 8 hex chars as uint32
+    >> (32 - shard_bits). Must match ShardedBloom._hashes exactly."""
+    return F.shiftright(
+        F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long"), 32 - shard_bits
+    )
+
+
+class BloomTable:
+    """The 10^10-key bloom: bitmaps live in a (shard, bitmap) DataFrame that
+    is NEVER collected to the driver and never broadcast whole.
+
+    ``split`` probes by cogrouping the candidates with the bitmap table on
+    (shard id, salt): each applyInPandas call receives one group's
+    candidate rows plus AT MOST ONE <=16 MB shard bitmap — peak memory per
+    task is one shard, not the fleet (the round-2 probe broadcast packed
+    every shard into one dict: ~14 GB to the driver AND each executor at
+    10^10 keys). The salt replicates each bitmap row `salt_n` times so a
+    low shard count still fans out across all cores; replication shuffle
+    volume is bounded by ~2 x cores x 16 MB, independent of n_seen.
+
+    False-negative-free by the same construction as ShardedBloom; the
+    exact anti-join downstream remains the source of truth for the
+    bloom-positive rows.
+    """
+
+    def __init__(self, shard_bits: int, m_bits_per_shard: int, k: int,
+                 bitmaps: DataFrame, persist: bool = True):
+        self.shard_bits = shard_bits
+        self.m = m_bits_per_shard
+        self.k = k
+        if persist:
+            from pyspark.storagelevel import StorageLevel
+
+            bitmaps = bitmaps.persist(StorageLevel.MEMORY_AND_DISK)
+        self.bitmaps = bitmaps
+
+    @classmethod
+    def build(cls, seen: DataFrame, key_col: str = "url_sha1",
+              expected_per_shard: int | None = None, fpp: float = 0.01,
+              shard_bits: int | None = None,
+              n_seen: int | None = None) -> "BloomTable":
+        sb, m, k, bitmaps = ShardedBloom.build(
+            seen, key_col=key_col, expected_per_shard=expected_per_shard,
+            fpp=fpp, shard_bits=shard_bits, n_seen=n_seen, as_table=True,
+        )
+        return cls(sb, m, k, bitmaps)
+
+    def unpersist(self) -> None:
+        self.bitmaps.unpersist()
+
+    def split(self, df: DataFrame, key_col: str = "url_sha1",
+              scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
+        """df -> (maybe_seen, definitely_new), one distributed probe pass.
+
+        The tagged output is persisted (and appended to ``scratch`` for the
+        caller to unpersist) so the two returned branches share ONE probe
+        execution — without it each branch would re-run the cogroup.
+        """
+        import numpy as np
+
+        from pyspark.sql import types as T
+        from pyspark.storagelevel import StorageLevel
+
+        spark = df.sparkSession
+        sb, m, k = self.shard_bits, self.m, self.k
+        n_shards = 1 << sb
+        par = spark.sparkContext.defaultParallelism
+        salt_n = max(1, -(-2 * par // n_shards))  # ceil(2*par / shards)
+
+        key = F.col(key_col)
+        shard = _shard_expr(key, sb) if sb else F.lit(0).cast("long")
+        cand = df.withColumn("_shard", shard).withColumn(
+            "_salt", F.pmod(F.xxhash64(key), F.lit(salt_n)).cast("long")
+        )
+        bm = self.bitmaps.select(
+            F.col("shard").alias("_shard"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt_n - 1).cast("long"))
+            ).alias("_salt"),
+            "bitmap",
+        )
+
+        fields = df.schema.fields
+        out_schema = T.StructType(
+            list(fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+        )
+        names = [f.name for f in fields]
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = left[names].copy() if len(left) else left.reindex(columns=names)
+            # invariant under test: a probe call never holds more than ONE
+            # shard bitmap (the whole point vs the broadcast-all design)
+            if len(right) > 1:
+                raise AssertionError(
+                    f"probe group got {len(right)} bitmaps for one shard"
+                )
+            if len(right) == 0 or len(left) == 0:
+                out["_maybe_seen"] = np.zeros(len(out), dtype=bool)
+                return out
+            bitmap = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8)
+            sid = int(right["_shard"].iloc[0])
+            bl = ShardedBloom(sb, m, k, {sid: bitmap})
+            out["_maybe_seen"] = bl.might_contain(left[key_col])
+            return out
+
+        tagged = (
+            cand.groupBy("_shard", "_salt")
+            .cogroup(bm.groupBy("_shard", "_salt"))
+            .applyInPandas(probe, out_schema)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if scratch is not None:
+            scratch.append(tagged)
+        maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        return maybe, new
+
+
 def bloom_split(spark: SparkSession, bloom: ShardedBloom):
     """Returns a callable df -> (maybe_seen, definitely_new) using a
-    broadcast of the bloom's shard bitmaps and an Arrow-vectorized probe."""
+    broadcast of the bloom's shard bitmaps and an Arrow-vectorized probe.
+
+    SMALL-FILTER path only (total bitmap bytes must fit a broadcast
+    comfortably); the crawl uses BloomTable.split, which never ships more
+    than one shard to a task."""
     bc = spark.sparkContext.broadcast(
         {"shard_bits": bloom.shard_bits, "m": bloom.m, "k": bloom.k,
          "shards": {sid: bm.tobytes() for sid, bm in bloom.shards.items()}}

@@ -36,7 +36,7 @@ from pyspark.storagelevel import StorageLevel
 from ..functions import urls as U
 from ..functions.html import JCUX_SCHEMA, parse_html_udf
 from ..operators import admission
-from ..operators.bloom import ShardedBloom, bloom_split
+from ..operators.bloom import BloomTable
 from ..operators.politeness import assign_fetch_slots
 from ..storage import RoundStore
 
@@ -235,16 +235,21 @@ def run_crawl(
             spark, T.StructType([T.StructField("url_sha1", T.StringType())])
         )
 
+        scratch: list = []
         prefilter = None
+        bloom_table = None
         if cfg.use_bloom and seen is not None:
             if n_seen_total >= cfg.bloom_min_seen:
-                bloom = ShardedBloom.build(
+                # bitmaps stay a persisted (shard, bitmap) DataFrame; the
+                # probe cogroups candidates with it so each task holds ONE
+                # <=16 MB shard — no whole-filter broadcast at 10^10 keys
+                bloom_table = BloomTable.build(
                     seen, n_seen=n_seen_total,
                     fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
                 )
-                prefilter = bloom_split(spark, bloom)
-
-        scratch: list = []
+                prefilter = (
+                    lambda d, _bt=bloom_table: _bt.split(d, scratch=scratch)
+                )
         admitted = admission.admit(
             candidates, seen_df, cfg.whitelist, cfg.max_depth,
             robots=robots, bloom_prefilter=prefilter, scratch=scratch,
@@ -433,6 +438,8 @@ def run_crawl(
 
         for df in scratch:  # safe: admitted materialized during commit
             df.unpersist()
+        if bloom_table is not None:
+            bloom_table.unpersist()
         admitted.unpersist()
         fetch_now.unpersist()
         fetched.unpersist()
