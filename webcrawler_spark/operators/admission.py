@@ -230,9 +230,11 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
 
 
 def anti_join_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:
-    """Drop already-seen URLs. `seen` needs only url_sha1; the join shuffles
-    on url_sha1 (both sides hash-partitioned on the key — with a bucketed
-    seen table this is a co-located join at scale)."""
+    """Drop already-seen URLs. `seen` needs only url_sha1. When `seen` is
+    the RoundStore bucketed table (CLUSTERED BY url_sha1 — the crawl's
+    default), its HashPartitioning reaches the join and only the candidate
+    side exchanges; the 10^10-row seen side is never re-shuffled
+    (plan-asserted in tests/test_seen_bucketed.py)."""
     return cand.join(seen.select("url_sha1"), on="url_sha1", how="left_anti")
 
 

@@ -94,6 +94,13 @@ class CrawlConfig:
     # already small (measured 2x slower on a 2k-page fixture crawl).
     hot_host_share: float = 0.05
     hot_host_min_rows: int = 100_000
+    seen_backend: str = "bucketed"       # "bucketed": the anti-join reads a
+    # CLUSTERED BY (url_sha1) datasource table whose HashPartitioning
+    # reaches the join — no full-seen exchange per round (the Iceberg
+    # bucket-transform layout on plain parquet). "parquet": per-round delta
+    # union (re-shuffles the seen side every round; small crawls only).
+    seen_buckets: int | None = None      # bucket count, pinned at store
+    # creation (None = defaultParallelism); pick ~fleet-cores at 10^10
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -167,6 +174,11 @@ def run_crawl(
 ) -> CrawlResult:
     store = RoundStore(checkpoint_dir)
     result = CrawlResult(store=store)
+    bucketed = cfg.seen_backend == "bucketed"
+    if bucketed:
+        store.ensure_seen_table(
+            spark, cfg.seen_buckets or spark.sparkContext.defaultParallelism
+        )
 
     # ---- resume or cold start -------------------------------------------
     last = store.last_committed() if resume else None
@@ -188,7 +200,11 @@ def run_crawl(
             if _os.path.exists(store.round_path(last, "retry"))
             else _empty(spark, QUEUE_SCHEMA)
         )
-        seen = store.read_all(spark, "seen_delta", upto=last)
+        seen = (
+            store.read_seen_bucketed(spark, upto=last)
+            if bucketed
+            else store.read_all(spark, "seen_delta", upto=last)
+        )
         rnd = last + 1
         result.metrics = [store.manifest(r)["stats"] for r in store.committed_rounds()]
         # driver-side running counts from the committed manifests — no
@@ -382,6 +398,17 @@ def run_crawl(
             "errors": 0,
             "deferred": 0,
         }
+        extra_writes = []
+        if bucketed:
+            # committed with the round (before the manifest rename): a
+            # manifest implies the keys are in the table; orphans from a
+            # crashed attempt carry this round number and stay invisible
+            # until the round actually commits (reads filter round <= K)
+            extra_writes.append(
+                lambda: store.append_seen_bucketed(
+                    admitted.select("url_sha1"), rnd
+                )
+            )
         manifest = store.commit_round(
             rnd,
             {
@@ -395,6 +422,7 @@ def run_crawl(
                 "retry": retry_next,
             },
             stats=stats,
+            extra_writes=extra_writes,
         )
 
         # post-commit stats: observe() metrics captured during the writes
@@ -434,7 +462,11 @@ def run_crawl(
         result.metrics.append(stats)
 
         candidates = store.read(spark, rnd, "next_candidates")
-        seen = store.read_all(spark, "seen_delta", upto=rnd)
+        seen = (
+            store.read_seen_bucketed(spark, upto=rnd)
+            if bucketed
+            else store.read_all(spark, "seen_delta", upto=rnd)
+        )
 
         for df in scratch:  # safe: admitted materialized during commit
             df.unpersist()

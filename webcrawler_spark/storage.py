@@ -44,7 +44,8 @@ class RoundStore:
 
     # -- commit ------------------------------------------------------------
     def commit_round(self, rnd: int, datasets: dict[str, DataFrame],
-                     stats: dict | None = None, done: bool = False) -> dict:
+                     stats: dict | None = None, done: bool = False,
+                     extra_writes: list | None = None) -> dict:
         """Write all datasets of a round, then the manifest (atomic rename).
 
         Returns the manifest dict, including per-dataset row counts under
@@ -76,8 +77,15 @@ class RoundStore:
                 "overwrite"
             ).parquet(path)
 
-        with ThreadPoolExecutor(max_workers=min(8, len(datasets))) as pool:
-            list(pool.map(write_one, datasets.items()))
+        n_jobs = len(datasets) + len(extra_writes or [])
+        with ThreadPoolExecutor(max_workers=min(8, n_jobs)) as pool:
+            futures = [pool.submit(write_one, item) for item in datasets.items()]
+            # extra_writes: zero-arg callables committed with the round (e.g.
+            # the bucketed-seen insert) — they run before the manifest rename,
+            # so a committed manifest implies they completed
+            futures += [pool.submit(fn) for fn in (extra_writes or [])]
+            for fut in futures:
+                fut.result()
         counts = {name: int(obs.get["rows"]) for name, obs in observations.items()}
         manifest = {
             "round": rnd,
@@ -150,6 +158,95 @@ class RoundStore:
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    # -- bucketed seen table -------------------------------------------------
+    #
+    # The anti-join side of admission. Plain per-round parquet deltas force
+    # Spark to re-shuffle the FULL seen side on url_sha1 every round (at
+    # 10^10 seen URLs that shuffle dwarfs the round). A bucketed datasource
+    # table (CLUSTERED BY url_sha1) carries its HashPartitioning into the
+    # plan, so the anti-join reads the seen side exchange-free and only the
+    # (per-round small) candidate side shuffles — verified by plan assertion
+    # in tests/test_seen_bucketed.py. This is the Iceberg `bucket(N,
+    # url_sha1)` layout expressed with what the sandbox has; swapping the
+    # provider is a DDL change.
+    #
+    # Crash-safety: rows carry the round number and every read filters
+    # `round <= last_committed`, so keys inserted by a round attempt that
+    # died before its manifest (orphans) are invisible — the redo of that
+    # round re-inserts them (duplicates are harmless to an anti-join and
+    # removed by compaction at scale). Catalog metadata is per-session
+    # (in-memory catalog); ensure_seen_table() recreates it over the
+    # existing bucketed files on resume.
+
+    SEEN_TABLE_SCHEMA = "url_sha1 STRING, round BIGINT"
+
+    @property
+    def seen_table(self) -> str:
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:12]
+        return f"seen_bucketed_{tag}"
+
+    def _seen_location(self) -> str:
+        return os.path.join(os.path.abspath(self.root), "seen_bucketed")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_store_meta.json")
+
+    def ensure_seen_table(self, spark: SparkSession, n_buckets: int) -> str:
+        """Create (or re-register after a session change) the bucketed seen
+        table. The bucket count is pinned in _store_meta.json on first use —
+        it must never change for the life of the store."""
+        meta = {}
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        if "seen_buckets" in meta:
+            n_buckets = int(meta["seen_buckets"])
+        else:
+            meta["seen_buckets"] = int(n_buckets)
+            tmp = self._meta_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path())
+        self._seen_buckets = n_buckets
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
+            f"({self.SEEN_TABLE_SCHEMA}) USING PARQUET "
+            f"CLUSTERED BY (url_sha1) SORTED BY (url_sha1) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{self._seen_location()}'"
+        )
+        return self.seen_table
+
+    def append_seen_bucketed(self, keys: DataFrame, rnd: int) -> None:
+        """Insert one round's url_sha1 keys. The pre-repartition on the
+        bucket key makes each task hold exactly one bucket's rows (Spark's
+        repartition hash == its bucketing hash), so every insert adds ONE
+        file per bucket instead of tasks x buckets."""
+        from pyspark.sql import functions as F
+
+        n = getattr(self, "_seen_buckets", None) or 32
+        (
+            keys.select(
+                F.col("url_sha1").cast("string").alias("url_sha1"),
+                F.lit(rnd).cast("long").alias("round"),
+            )
+            .repartition(n, "url_sha1")
+            .write.mode("append")
+            .insertInto(self.seen_table)
+        )
+
+    def read_seen_bucketed(self, spark: SparkSession, upto: int) -> DataFrame:
+        """All committed seen keys (round <= upto) — exchange-free join side."""
+        from pyspark.sql import functions as F
+
+        return (
+            spark.table(self.seen_table)
+            .filter(F.col("round") <= F.lit(upto))
+            .select("url_sha1")
+        )
 
     # -- final export ------------------------------------------------------
     def export_path(self, name: str = "items_sorted") -> str:
