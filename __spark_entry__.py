@@ -957,48 +957,159 @@ FROM meta
 
 
 # ---------------------------------------------------------------------------
-# queries — crawl end-to-end (non-SQL-expressible: iterative BFS; driver
-# records a rows-only check)
+# queries — crawl end-to-end, WITH a SQL oracle: the per-row scalar
+# transforms (link extraction, RFC-3986 canonicalize + sha1, content type)
+# are precomputed into side tables by pure Python (fixtures.
+# write_bfs_oracle_tables — same modules as the reference simulator), and
+# the DuckDB twin pins the ITERATIVE relational structure as an unrolled
+# per-round CTE chain: admission conjunction -> in-round dedup winner ->
+# seen anti-join -> politeness ranking -> fetch join -> link explosion
+# (scheduler/scheduler.go:528-576 + analyzer.go:119-132 semantics).
 # ---------------------------------------------------------------------------
+
+_BFS_DIR = "/tmp/spark_graft_bfs_fixture"
+_BFS_N_PAGES, _BFS_SEED, _BFS_FIXTURE_VERSION = 80, 42, 1
+_BFS_MAX_DEPTH, _BFS_MAX_ROUNDS = 3, 8
+_BFS_UNLIMITED = 1 << 31  # politeness.UNLIMITED
+
+
+def _ensure_bfs_fixture() -> dict:
+    """Idempotent fixed-path fixture (pure pyarrow, no Spark): both the
+    Spark query and the DuckDB oracle read the same deterministic web."""
+    import json
+    import os
+    import shutil
+
+    from webcrawler_spark import fixtures
+
+    marker = os.path.join(_BFS_DIR, "_marker.json")
+    want = {"n_pages": _BFS_N_PAGES, "seed": _BFS_SEED,
+            "version": _BFS_FIXTURE_VERSION}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return {
+                        name: os.path.join(_BFS_DIR, f"{name}.parquet")
+                        for name in ("pages", "seeds", "robots")
+                    }
+        except (ValueError, OSError):
+            pass
+    shutil.rmtree(_BFS_DIR, ignore_errors=True)
+    paths = fixtures.write_parquet(_BFS_DIR, n_pages=_BFS_N_PAGES, seed=_BFS_SEED)
+    fixtures.write_bfs_oracle_tables(
+        _BFS_DIR, n_pages=_BFS_N_PAGES, seed=_BFS_SEED
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return paths
+
 
 def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full batch-iterative crawl on the deterministic fixture web: rounds
     of admission → politeness → fetch-join → parse-UDF → explode. Returns
-    the (round, host, url) crawl order. Iterative (multi-job) ⇒ no single
-    SQL oracle; tests/test_crawl_e2e.py checks it against the pure-Python
-    reference simulator instead."""
-    import tempfile
+    the (round, host, url) crawl order straight from the committed
+    checkpoint parquet (no driver-side collect round-trip)."""
+    import os
+    import shutil
 
     from webcrawler_spark import fixtures
     from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
 
+    paths = _ensure_bfs_fixture()
+    ckpt = os.path.join(_BFS_DIR, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
     # tiny fixture web: shrink the shuffle so the 8-round loop stays quick
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return _run_crawl_bfs(spark, tempfile, fixtures, CrawlConfig, run_crawl)
+        pages = spark.read.parquet(paths["pages"])
+        seeds = spark.read.parquet(paths["seeds"])
+        robots_df = spark.read.parquet(paths["robots"])
+        cfg = CrawlConfig(whitelist=fixtures.WHITELIST,
+                          max_depth=_BFS_MAX_DEPTH, max_rounds=_BFS_MAX_ROUNDS)
+        result = run_crawl(
+            spark, pages, seeds, cfg, checkpoint_dir=ckpt,
+            budgets=robots_df.select("host", "budget_per_round"),
+            robots=robots_df.select("host", "disallow_prefixes"),
+        )
+        order = result.order(spark)
+        return order.select(
+            F.col("round").cast("long").alias("round"), "host", "url"
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
-def _run_crawl_bfs(spark, tempfile, fixtures, CrawlConfig, run_crawl) -> DataFrame:
-    with tempfile.TemporaryDirectory() as td:
-        paths = fixtures.write_parquet(f"{td}/web", n_pages=80, seed=42)
-        pages = spark.read.parquet(paths["pages"])
-        seeds = spark.read.parquet(paths["seeds"])
-        robots_df = spark.read.parquet(paths["robots"])
-        budgets = robots_df.select("host", "budget_per_round")
-        cfg = CrawlConfig(whitelist=fixtures.WHITELIST, max_depth=3, max_rounds=8)
-        result = run_crawl(
-            spark, pages, seeds, cfg, checkpoint_dir=f"{td}/ckpt",
-            budgets=budgets, robots=robots_df.select("host", "disallow_prefixes"),
-        )
-        order = result.order(spark)
-        rows = order.select("round", "host", "url").collect() if order is not None else []
-    out = spark.createDataFrame(
-        rows or [], "round: bigint, host: string, url: string"
+def _sql_crawl_bfs() -> str:
+    """DuckDB twin of q_crawl_bfs: the bounded BFS unrolled round-by-round
+    (max_rounds fixed at 8). Each round repeats exactly the engine's
+    admission -> dedup -> anti-join -> politeness -> fetch -> explode
+    algebra; the sha1/canonical/link columns come from the precomputed
+    side tables (see _ensure_bfs_fixture)."""
+    d = _BFS_DIR
+    wl = ", ".join(f"'{w}'" for w in ["bml365.com", "example.com.cn", "example.net"])
+    parts = [f"""
+canon AS MATERIALIZED (SELECT * FROM read_parquet('{d}/canon_map.parquet')),
+links AS MATERIALIZED (SELECT * FROM read_parquet('{d}/page_links.parquet')),
+rbr AS MATERIALIZED (SELECT host AS r_host, unnest(disallow_prefixes) AS pfx
+        FROM read_parquet('{d}/robots.parquet')),
+bud AS MATERIALIZED (SELECT host AS b_host, budget_per_round
+        FROM read_parquet('{d}/robots.parquet')),
+cand_0 AS MATERIALIZED (
+  SELECT url AS raw_url, 0::BIGINT AS depth, '' AS parent,
+         "order"::BIGINT AS link_pos
+  FROM read_parquet('{d}/seeds.parquet')
+),
+seen_pre0 AS (SELECT NULL::VARCHAR AS sha1 WHERE 1 = 0),
+def_pre0 AS (SELECT NULL::VARCHAR AS sha1, NULL::VARCHAR AS url,
+             NULL::VARCHAR AS host, NULL::BIGINT AS depth WHERE 1 = 0)"""]
+    for r in range(_BFS_MAX_ROUNDS + 1):
+        prev_seen = f"seen_{r - 1}" if r else "seen_pre0"
+        prev_def = f"def_{r - 1}" if r else "def_pre0"
+        parts.append(f"""
+adm_{r} AS MATERIALIZED (
+  -- validity -> scheme -> robots -> whitelist -> depth, then the
+  -- deterministic in-round winner per sha1 (min depth, parent, link_pos)
+  SELECT c.sha1, c.url, c.host, cd.depth
+  FROM cand_{r} cd JOIN canon c ON c.raw_url = cd.raw_url
+  WHERE c.url IS NOT NULL AND c.scheme IN ('http', 'https')
+    AND NOT EXISTS (SELECT 1 FROM rbr WHERE rbr.r_host = c.host
+                    AND starts_with(c.path, rbr.pfx))
+    AND c.primary_domain IN ({wl})
+    AND cd.depth <= {_BFS_MAX_DEPTH}
+  QUALIFY row_number() OVER (
+    PARTITION BY c.sha1 ORDER BY cd.depth, cd.parent, cd.link_pos) = 1
+),
+new_{r} AS MATERIALIZED (
+  SELECT a.* FROM adm_{r} a
+  WHERE a.sha1 NOT IN (SELECT sha1 FROM {prev_seen})
+),
+seen_{r} AS MATERIALIZED (
+  SELECT sha1 FROM {prev_seen} UNION ALL SELECT sha1 FROM new_{r}
+),
+rk_{r} AS MATERIALIZED (
+  SELECT q.*, row_number() OVER (PARTITION BY q.host
+                                 ORDER BY q.depth, q.sha1) AS rk,
+         coalesce(b.budget_per_round, {_BFS_UNLIMITED}) AS budget
+  FROM (SELECT sha1, url, host, depth FROM {prev_def}
+        UNION ALL SELECT sha1, url, host, depth FROM new_{r}) q
+  LEFT JOIN bud b ON b.b_host = q.host
+),
+fetch_{r} AS MATERIALIZED (SELECT sha1, url, host, depth FROM rk_{r} WHERE rk <= budget),
+def_{r} AS MATERIALIZED (SELECT sha1, url, host, depth FROM rk_{r} WHERE rk > budget),
+cand_{r + 1} AS MATERIALIZED (
+  -- fetch join: only pages present AND html yield links (page_links holds
+  -- exactly those); every emitted request gets depth + 1
+  SELECT l.raw_url, f.depth + 1 AS depth, f.url AS parent,
+         l.link_pos::BIGINT AS link_pos
+  FROM fetch_{r} f JOIN links l ON l.page_url = f.url
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS round, host, url FROM fetch_{r}"
+        for r in range(_BFS_MAX_ROUNDS + 1)
     )
-    return out
+    return "WITH " + ",".join(parts) + f"\n{unions}"
 
 
 # ---------------------------------------------------------------------------
@@ -1179,6 +1290,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_META,
         "multimodal_resize": _SQL_RESIZE,
         "multimodal_frames": _SQL_FRAMES,
-        # crawl_bfs: iterative, no SQL oracle (rows-only check; e2e parity
-        # vs the reference simulator lives in tests/test_crawl_e2e.py)
+        "crawl_bfs": _bfs_oracle(),
     }
+
+
+def _bfs_oracle() -> str:
+    """The crawl_bfs oracle needs its fixture on disk before DuckDB runs
+    the SQL — ensure it here (pure pyarrow, idempotent, ~1s once)."""
+    _ensure_bfs_fixture()
+    return _sql_crawl_bfs()

@@ -347,3 +347,99 @@ def write_parquet(outdir: str, n_pages: int = 200, seed: int = 42) -> dict:
         pq.write_table(tbl, path)
         paths[name] = path
     return paths
+
+
+def write_bfs_oracle_tables(outdir: str, n_pages: int = 200, seed: int = 42) -> dict:
+    """Side tables for the crawl_bfs SQL oracle (pure Python, no Spark).
+
+    The crawl's per-row SCALAR transforms — HTML link extraction (combined
+    parser order: scoped-img, links, img — analyzer.go:92-111), RFC-3986
+    canonicalization + sha1, content-type classification — are precomputed
+    here with the same pure-Python modules the reference simulator
+    (tests/oracle.py) uses, so the DuckDB twin can pin the ITERATIVE
+    relational structure in SQL: admission conjunction, in-round dedup
+    winner, seen anti-join, politeness ranking, fetch join, next-round
+    link explosion (scheduler/scheduler.go:528-576, analyzer.go:119-132).
+
+    Tables:
+      page_links:  (page_url, link_pos, raw_url)  one row per extracted link
+      page_meta:   (url, kind in html|image|other)
+      canon_map:   (raw_url, url, sha1, host, path, scheme, primary_domain)
+                   url NULL = invalid/relative-unresolvable (dropped)
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import htmldom
+    from .extract import extract_img_links, extract_links, extract_scoped_img_links
+    from .urlnorm import (
+        canonicalize,
+        primary_domain,
+        sha1_hex,
+        url_host,
+        url_path,
+        url_scheme,
+    )
+
+    os.makedirs(outdir, exist_ok=True)
+    pages, seeds, _robots = generate(n_pages=n_pages, seed=seed)
+
+    page_links: list[dict] = []
+    page_meta: list[dict] = []
+    raw_universe: set[str] = {s["url"] for s in seeds}
+    for p in pages:
+        ct = content_type_for(p["url"])
+        kind = (
+            "image" if ct.startswith("image")
+            else "html" if ct.startswith("text/html") else "other"
+        )
+        page_meta.append({"url": p["url"], "kind": kind})
+        if kind != "html":
+            continue
+        dom = htmldom.parse(p["html"])
+        links = (
+            extract_scoped_img_links(dom, p["url"])
+            + extract_links(dom, p["url"])
+            + extract_img_links(dom, p["url"])
+        )
+        for pos, u in enumerate(links):
+            page_links.append({"page_url": p["url"], "link_pos": pos, "raw_url": u})
+            raw_universe.add(u)
+
+    canon_rows: list[dict] = []
+    for raw in sorted(raw_universe):
+        canon = canonicalize(raw)
+        if canon is None:
+            canon_rows.append(
+                {"raw_url": raw, "url": None, "sha1": None, "host": None,
+                 "path": None, "scheme": None, "primary_domain": None}
+            )
+        else:
+            host = url_host(canon)
+            canon_rows.append(
+                {"raw_url": raw, "url": canon, "sha1": sha1_hex(canon),
+                 "host": host, "path": url_path(canon),
+                 "scheme": url_scheme(canon),
+                 "primary_domain": primary_domain(host)}
+            )
+
+    paths = {}
+    for name, rows, schema in (
+        ("page_links", page_links,
+         pa.schema([("page_url", pa.string()), ("link_pos", pa.int64()),
+                    ("raw_url", pa.string())])),
+        ("page_meta", page_meta,
+         pa.schema([("url", pa.string()), ("kind", pa.string())])),
+        ("canon_map", canon_rows,
+         pa.schema([("raw_url", pa.string()), ("url", pa.string()),
+                    ("sha1", pa.string()), ("host", pa.string()),
+                    ("path", pa.string()), ("scheme", pa.string()),
+                    ("primary_domain", pa.string())])),
+    ):
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        path = os.path.join(outdir, f"{name}.parquet")
+        pq.write_table(tbl, path)
+        paths[name] = path
+    return paths
