@@ -921,6 +921,57 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header codec end-to-end: deterministic PNG/GIF/JPEG bytes are
+    synthesized per p_partkey inside a mapInPandas stage (payload synth is
+    test plumbing), then decoded by the production decode_meta path —
+    stdlib struct over IHDR / logical screen descriptor / SOF0, no PIL.
+    The DuckDB twin computes the expected header fields from the same key
+    formulas without touching bytes, so any decode defect hash-mismatches."""
+    import pandas as pd
+
+    part = _t(spark, sf_dir, "part")
+    src = part.select(F.col("p_partkey").cast("long").alias("id"))
+
+    def gen(it):
+        from webcrawler_spark.fixtures import real_image_bytes
+
+        fmts = ["png", "gif", "jpeg"]
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": [
+                        real_image_bytes(
+                            16 + int(i) % 1000, 16 + (int(i) * 7) % 800,
+                            fmts[int(i) % 3],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    payloads = src.mapInPandas(gen, "id long, payload binary")
+    meta = multimodal.decode_meta(payloads)
+    return meta.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+    )
+
+
+_SQL_REAL_META = """
+SELECT p_partkey::BIGINT AS id,
+       (16 + p_partkey % 1000)::BIGINT AS width,
+       (16 + (p_partkey * 7) % 800)::BIGINT AS height,
+       CASE p_partkey % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'jpeg' END AS format
+FROM part
+"""
+
+
 _SQL_META = """
 SELECT doc_id::BIGINT AS id,
        octet_length(encode(text))::BIGINT AS byte_len,
@@ -1166,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "crawl_bfs": q_crawl_bfs,
@@ -1288,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann(bucketed=True),
         "ann_ivf": _sql_ann_ivf(),
         "multimodal_meta": _SQL_META,
+        "multimodal_real_meta": _SQL_REAL_META,
         "multimodal_resize": _SQL_RESIZE,
         "multimodal_frames": _SQL_FRAMES,
         "crawl_bfs": _bfs_oracle(),

@@ -70,6 +70,43 @@ def fake_image_bytes(rng: random.Random, ext: str) -> bytes:
     return (f"IMG:{w}:{h}:{ext}:" + "P" * size).encode("ascii")
 
 
+def real_image_bytes(w: int, h: int, fmt: str) -> bytes:
+    """Deterministic REAL image headers (stdlib only) for the codec tests
+    and the multimodal_real_meta contract query: a well-formed minimal
+    PNG (signature + IHDR/IDAT/IEND with CRCs), GIF89a (logical screen
+    descriptor + trailer) or JPEG (SOI + APP0 JFIF + SOF0 + EOI)."""
+    import struct
+    import zlib
+
+    if fmt == "png":
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            c = tag + body
+            return struct.pack(">I", len(body)) + c + struct.pack(
+                ">I", zlib.crc32(c) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        idat = zlib.compress(b"\x00" * 8)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+    if fmt == "jpeg":
+        app0 = (
+            b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        )
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown format {fmt!r}")
+
+
 def _info_block(rng: random.Random, i: int) -> str:
     price = f"¥{rng.randint(10, 9999)}.{rng.randint(0, 99):02d}"
     lines = [

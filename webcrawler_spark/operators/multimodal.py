@@ -7,12 +7,14 @@ operators are the downstream pipeline: decode / feature-extract /
 resize / frame-sample, all as Arrow-batched ``mapInPandas`` so the driver
 never sees payload bytes and each task processes one Arrow batch of blobs.
 
-The actual codec step is STUBBED (no PIL/ffmpeg in this container):
-``decode_meta`` understands the deterministic fixture header
-(``IMG:<w>:<h>:<fmt>:`` — fixtures.fake_image_bytes) and otherwise derives
-deterministic pseudo-metadata from the byte length, so the Spark-side
-plumbing (schema, batching, partitioning) is real and testable end-to-end.
-``decode_real`` is the marked seam where a codec library would plug in.
+The header codec is REAL for PNG / GIF / JPEG — stdlib ``struct`` over the
+IHDR chunk, the logical screen descriptor, and an SOFn marker walk
+(``decode_real``; no PIL needed for dimensions+format). Pixel DECODE
+(resample, color transform) would still need a codec library; those
+operators stay pure-plan (resize_plan) by design. Payloads that are none
+of the three formats fall back to the deterministic fixture header
+(``IMG:<w>:<h>:<fmt>:`` — fixtures.fake_image_bytes) and then to
+pseudo-metadata from the byte length, keeping every fixture testable.
 
 Scale notes: blobs ride a ``binary`` column ⇒ parquet keeps them column-
 chunked and scans prune them unless selected; ``maxRecordsPerBatch`` should
@@ -42,19 +44,52 @@ META_SCHEMA = T.StructType(
 
 
 def decode_real(payload: bytes) -> tuple[int, int, str]:
-    """The real-codec seam. Plug PIL/ffmpeg here when available."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use decode_meta (deterministic fake) instead"
-        ) from exc
-    raise NotImplementedError("real decode not wired yet")
+    """(width, height, format) from real image headers, stdlib-only.
+
+    * PNG: 8-byte signature, then the IHDR chunk's big-endian w/h
+      (PNG spec §11.2.2 — public W3C spec).
+    * GIF: 'GIF87a'/'GIF89a', then the logical screen descriptor's
+      little-endian w/h (GIF89a spec §18).
+    * JPEG: marker walk from SOI past APPn/DQT/... to the first SOFn
+      (C0-CF except C4/C8/CC); frame header carries BE height, width
+      (ITU T.81 §B.2.2). Standalone markers (RST, TEM) have no length.
+
+    Raises ValueError when the payload is none of the three.
+    """
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24 \
+            and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, "gif"
+    if payload[:2] == b"\xff\xd8":
+        pos, n = 2, len(payload)
+        while pos + 4 <= n and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                    return w, h, "jpeg"
+                break
+            pos += 2 + seg_len
+    raise ValueError("not a PNG/GIF/JPEG header")
 
 
 def _decode_one(payload: bytes) -> tuple[int, int, str]:
-    """Fixture header if present, else deterministic pseudo-metadata."""
+    """Real header first, then fixture header, else pseudo-metadata."""
+    try:
+        return decode_real(payload)
+    except ValueError:
+        pass
     if payload[:4] == b"IMG:":
         try:
             _, w, h, fmt, _rest = payload.split(b":", 4)
