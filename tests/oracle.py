@@ -52,7 +52,9 @@ class CrawlConfig:
     max_rounds: int = 20
     parsers: str = "combined"  # "generic" | "bm1365" | "combined"
     budgets: dict[str, int] | None = None       # host -> per-round fetch slots
-    robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
+    robots: dict[str, list] | None = None       # host -> rules; each rule is
+    # a plain str (disallow prefix) or a (prefix, allow: bool) tuple —
+    # decided by RFC 9309 longest-prefix-match, allow wins ties
     max_fetch_retries: int = 0                  # fetch-miss re-enqueues
 
 
@@ -89,9 +91,21 @@ def _admit(raw: str, depth: int, cfg: CrawlConfig) -> tuple[str, str] | None:
         return None
     host = url_host(canon)
     if cfg.robots:
-        for prefix in cfg.robots.get(host, ()):  # NEW per north_rule
-            if url_path(canon).startswith(prefix):
-                return None
+        # RFC 9309 §2.2.2: longest matching prefix wins, allow beats
+        # disallow at equal length, no match = allowed (NEW per north_rule)
+        best: tuple[int, bool] | None = None
+        path = url_path(canon)
+        for rule in cfg.robots.get(host, ()):
+            prefix, allow = (rule, False) if isinstance(rule, str) else (
+                rule[0], bool(rule[1])
+            )
+            if not prefix or not path.startswith(prefix):
+                continue
+            key = (len(prefix), allow)
+            if best is None or key > best:
+                best = key
+        if best is not None and not best[1]:
+            return None
     pd = primary_domain(host)
     if pd is None or pd not in cfg.whitelist:
         return None

@@ -77,6 +77,118 @@ def test_multi_host_isolation(spark):
     }
 
 
+BODY_ALLOW = """User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Allow: /exact/
+Disallow: /exact/
+Allow: /a/
+Disallow: /a/b/
+"""
+
+
+def _rules(spark, items):
+    df = spark.createDataFrame(items, "host: string, body: string")
+    return {
+        r["host"]: sorted((x["prefix"], x["allow"]) for x in r["rules"])
+        for r in parse_robots(df).collect()
+    }
+
+
+def test_parse_allow_rules(spark):
+    got = _rules(spark, [("a.com", BODY_ALLOW)])
+    assert got == {
+        "a.com": [
+            ("/a/", True), ("/a/b/", False), ("/exact/", False),
+            ("/exact/", True), ("/private/", False), ("/private/pub/", True),
+        ]
+    }
+    # legacy view keeps only disallows
+    df = spark.createDataFrame([("a.com", BODY_ALLOW)], "host: string, body: string")
+    row = parse_robots(df).collect()[0]
+    assert list(row["disallow_prefixes"]) == ["/a/b/", "/exact/", "/private/"]
+
+
+def _decide(spark, paths):
+    """Run admission with BODY_ALLOW rules over candidate paths; return
+    the surviving path set."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import admission
+
+    robots = parse_robots(
+        spark.createDataFrame([("www.example.com", BODY_ALLOW)],
+                              "host: string, body: string")
+    )
+    cand = spark.createDataFrame(
+        [(f"http://www.example.com{p}", "www.example.com", p) for p in paths],
+        "url: string, host: string, path: string",
+    ).withColumn("depth", F.lit(0).cast("long"))
+    out = admission.admission_filters(cand, ["example.com"], 3, robots=robots)
+    return {r["path"] for r in out.collect()}
+
+
+def test_longest_match_allow_overrides_disallow(spark):
+    # the canonical RFC 9309 case: Allow: /private/pub/ overrides
+    # Disallow: /private/ for paths under the longer prefix
+    got = _decide(spark, ["/private/x", "/private/pub/x", "/ok"])
+    assert got == {"/private/pub/x", "/ok"}
+
+
+def test_equal_length_tie_resolves_to_allow(spark):
+    got = _decide(spark, ["/exact/x"])
+    assert got == {"/exact/x"}
+
+
+def test_longer_disallow_beats_shorter_allow(spark):
+    got = _decide(spark, ["/a/x", "/a/b/c"])
+    assert got == {"/a/x"}
+
+
+def test_allow_rules_e2e_engine_matches_simulator(spark, fixture_web, tmp_path):
+    """Full crawl with Allow-override rules: engine ≡ reference simulator.
+    Disallow /chain/ + Allow /chain/0 lets exactly the first chain page
+    through on the hot host; /qy/ disallow + /qy/prod/ allow is a
+    behavior-preserving override for every product URL."""
+    from oracle import CrawlConfig as OracleConfig, crawl as oracle_crawl
+    from webcrawler_spark.fixtures import WHITELIST
+    from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    rules = [
+        ("/qy/", False), ("/qy/prod/", True),
+        ("/chain/", False), ("/chain/0", True),
+    ]
+    host = "www.bml365.com"
+
+    ocfg = OracleConfig(whitelist=WHITELIST, max_depth=3, max_rounds=12,
+                        parsers="combined", robots={host: rules})
+    golden = oracle_crawl(fixture_web["pages"], fixture_web["seeds"], ocfg)
+    crawled_paths = {u.split(host, 1)[1] for _, h, u, _ in golden.order if h == host}
+    assert "/chain/0" in crawled_paths
+    assert not any(p.startswith("/chain/") and p != "/chain/0"
+                   for p in crawled_paths)
+
+    robots_df = spark.createDataFrame(
+        [(host, [{"prefix": p, "allow": a} for p, a in rules])],
+        "host: string, rules: array<struct<prefix: string, allow: boolean>>",
+    )
+    paths = fixture_web["paths"]
+    result = run_crawl(
+        spark,
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["seeds"]),
+        CrawlConfig(whitelist=WHITELIST, max_depth=3, max_rounds=12,
+                    parsers="combined"),
+        checkpoint_dir=str(tmp_path / "ckpt_allow"),
+        robots=robots_df,
+    )
+    engine_order = [
+        (r["round"], r["host"], r["url"], r["url_sha1"])
+        for r in result.order(spark).orderBy("round", "host", "url_sha1").collect()
+    ]
+    assert engine_order == golden.order
+
+
 def test_feeds_admission_filter(spark):
     """Parsed output plugs straight into admission_filters' robots arg."""
     from pyspark.sql import functions as F

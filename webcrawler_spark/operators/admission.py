@@ -128,28 +128,50 @@ def admission_filters(
     )
 
     if robots is not None:
-        # robots: (host, disallow_prefixes array<string>) — tiny dim table,
-        # broadcast; a candidate is rejected when its path starts with any
-        # disallowed prefix for its host. NEW per north_rule.
-        blocked = (
-            F.exists(
-                F.col("_r_prefixes"),
-                lambda p: F.col("path").startswith(p),
+        # robots: tiny dim table, broadcast. Preferred shape is
+        # (host, rules array<struct<prefix, allow>>); a plain
+        # (host, disallow_prefixes array<string>) is promoted to
+        # all-disallow rules. Decision per candidate = RFC 9309 §2.2.2
+        # longest-prefix-match: among matching rules the LONGEST prefix
+        # wins; an equal-length allow/disallow tie resolves to allow; no
+        # matching rule (or no robots row) = allowed. All native: filter +
+        # transform + array_max over (len, allow) structs — struct
+        # comparison gives exactly the (longest, then allow-wins) order.
+        if "rules" in robots.columns:
+            rules_col = F.col("rules")
+        else:
+            rules_col = F.transform(
+                F.col("disallow_prefixes"),
+                lambda p: F.struct(
+                    p.alias("prefix"), F.lit(False).alias("allow")
+                ),
+            )
+        matched = F.filter(
+            F.col("_r_rules"),
+            lambda r: F.col("path").startswith(r["prefix"]),
+        )
+        best = F.array_max(
+            F.transform(
+                matched,
+                lambda r: F.struct(
+                    F.length(r["prefix"]).alias("l"), r["allow"].alias("a")
+                ),
             )
         )
+        blocked = best.isNotNull() & ~best["a"]
         out = (
             out.join(
                 F.broadcast(
                     robots.select(
                         F.col("host").alias("_r_host"),
-                        F.col("disallow_prefixes").alias("_r_prefixes"),
+                        rules_col.alias("_r_rules"),
                     )
                 ),
                 on=[out["host"] == F.col("_r_host")],
                 how="left",
             )
-            .filter(F.col("_r_prefixes").isNull() | ~blocked)
-            .drop("_r_host", "_r_prefixes")
+            .filter(F.col("_r_rules").isNull() | ~blocked)
+            .drop("_r_host", "_r_rules")
         )
 
     # Whitelist: the primary-domain extraction is the one genuinely

@@ -7,10 +7,13 @@ Grammar follows the public Robots Exclusion Protocol (RFC 9309 subset):
 
 * lines are `field: value`, `#` starts a comment, blank lines ignored;
 * a GROUP is a run of consecutive ``User-agent`` lines followed by rules;
-* we honor the ``*`` user-agent groups' ``Disallow`` prefixes (an empty
-  Disallow value means allow-all and contributes nothing). ``Allow``
-  precedence and wildcards are out of scope — prefix-only matching, the
-  same semantics ``admission.admission_filters`` enforces.
+* we honor the ``*`` user-agent groups' ``Disallow`` AND ``Allow``
+  prefixes (an empty value means no rule and contributes nothing);
+* decision semantics (enforced by ``admission.admission_filters``):
+  RFC 9309 §2.2.2 longest-prefix-match — among all rules whose prefix
+  matches the candidate path, the LONGEST wins; an allow/disallow tie at
+  equal length resolves to allow. Wildcards (`*`, `$`) are out of scope
+  (documented subset).
 
 Everything is native DataFrame algebra: split/posexplode for lines, two
 window passes over (host, line position) to assign each rule line to its
@@ -28,8 +31,11 @@ from pyspark.sql import functions as F
 def parse_robots(
     bodies: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:
-    """(host, body) -> (host, disallow_prefixes array<string>, sorted).
+    """(host, body) -> (host, disallow_prefixes array<string>,
+    rules array<struct<prefix, allow>>) — both sorted.
 
+    ``rules`` is what admission consumes (longest-match with Allow
+    overrides); ``disallow_prefixes`` is kept as the legacy/simple view.
     Hosts whose body yields no applicable rules produce NO row (same as an
     absent robots.txt — the admission left join treats both as
     unrestricted).
@@ -70,11 +76,23 @@ def parse_robots(
     )
 
     rules = (
-        grouped.filter((F.col("kind") == "disallow") & (F.col("value") != ""))
+        grouped.filter(
+            F.col("kind").isin("disallow", "allow") & (F.col("value") != "")
+        )
         .join(star_groups, on=["host", "group_id"], how="left_semi")
-        .select("host", F.col("value").alias("prefix"))
+        .select(
+            "host",
+            F.col("value").alias("prefix"),
+            (F.col("kind") == "allow").alias("allow"),
+        )
         .distinct()
     )
     return rules.groupBy("host").agg(
-        F.array_sort(F.collect_list("prefix")).alias("disallow_prefixes")
+        # collect_list skips NULLs -> disallow-only view
+        F.array_sort(
+            F.collect_list(F.when(~F.col("allow"), F.col("prefix")))
+        ).alias("disallow_prefixes"),
+        F.array_sort(
+            F.collect_list(F.struct("prefix", "allow"))
+        ).alias("rules"),
     )
