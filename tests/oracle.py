@@ -232,6 +232,13 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                 res.errors.append({"round": rnd, "url": c.url, "stage": "parse",
                                    "message": type(e).__name__})
                 n_errors += 1
+                # analyze-failure retry parity (scheduler.go:394)
+                if c.attempts < cfg.max_fetch_retries:
+                    retry.append(
+                        Candidate(url=c.url, sha1=c.sha1, depth=c.depth,
+                                  parent=c.parent, link_pos=c.link_pos,
+                                  attempts=c.attempts + 1)
+                    )
                 continue
             if rec is not None:
                 res.items.append(

@@ -172,9 +172,12 @@ def test_errors_match(spark, fixture_web, tmp_path):
 
 
 def test_parse_error_capture_and_fetch_retry(spark, tmp_path):
-    """A poisoned page (recursion bomb) yields one parse-stage errors row
-    and the crawl still completes; fetch misses are re-enqueued
-    max_fetch_retries times; errors/order/items match the extended oracle."""
+    """A poisoned page (recursion bomb) yields a parse-stage errors row per
+    attempt and the crawl still completes; fetch misses AND parse failures
+    are re-enqueued max_fetch_retries times (scheduler.go:386/:394 retry
+    parity — parse failures are deterministic in the pages-table world, so
+    their retries always exhaust); errors/order/items match the extended
+    oracle."""
     import datetime
 
     import pyarrow as pa
@@ -237,9 +240,12 @@ def test_parse_error_capture_and_fetch_retry(spark, tmp_path):
     miss_rounds = [r for r, u, s, m in engine_errors if u.endswith("/missing")]
     assert miss_rounds == [1, 2, 3]
     assert all(m == "fetch_miss" for r, u, s, m in engine_errors if s == "fetch")
-    # the poisoned page produced exactly one parse error and no items
-    parse_errs = [(u, m) for r, u, s, m in engine_errors if s == "parse"]
-    assert parse_errs == [(f"http://{host}/poison", "RecursionError")]
+    # the poisoned page is retried like a miss: one parse error per
+    # attempt (rounds 1..1+max_fetch_retries), never any items
+    parse_errs = [(r, u, m) for r, u, s, m in engine_errors if s == "parse"]
+    assert parse_errs == [
+        (r, f"http://{host}/poison", "RecursionError") for r in (1, 2, 3)
+    ]
     _assert_match(spark, golden, result)
     item_urls = {r["url"] for r in result.items(spark).collect()}
     assert f"http://{host}/poison" not in item_urls

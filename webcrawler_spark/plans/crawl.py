@@ -73,10 +73,16 @@ class CrawlConfig:
     max_depth: int = 3
     max_rounds: int = 20
     parsers: str = "combined"            # "generic" | "bm1365" | "combined"
-    max_fetch_retries: int = 0           # re-enqueue fetch misses up to N
-    # times in later rounds (0 = reference-faithful: a retried request is
-    # already in the seen set, so the reference's re-SendReq is dropped by
-    # the urlMap filter — scheduler.go:386,394 + 551-554)
+    max_fetch_retries: int = 0           # re-enqueue fetch misses AND
+    # parse failures up to N times in later rounds, mirroring the
+    # reference's symmetric re-SendReq for download failures
+    # (scheduler.go:386) and analyze failures (scheduler.go:394).
+    # 0 = reference-faithful-in-effect: a retried request is already in
+    # the seen set, so the reference's re-SendReq is dropped by the
+    # urlMap filter (scheduler.go:551-554). In the pages-table world a
+    # parse failure is deterministic (same bytes every attempt) so its
+    # retries always exhaust; live fetches make them transient — the
+    # counter-gated plumbing is identical for both.
     use_bloom: bool = True
     bloom_min_seen: int = 100_000        # below this the exact anti-join is
                                          # cheaper than building a bloom
@@ -351,6 +357,22 @@ def run_crawl(
             F.col("p.error").alias("message"),
         )
         errors = errors.unionByName(parse_errors)
+        # analyze-failure retry parity (scheduler.go:394): re-enqueue parse
+        # errors like fetch misses, counter-gated; both frames are persisted
+        # so the semi-join reads cache, not a recompute
+        parse_retry = (
+            fetched.join(
+                parsed_all.filter(F.col("p.error").isNotNull()).select("url"),
+                on="url",
+                how="left_semi",
+            )
+            .filter(F.col("attempts") < F.lit(cfg.max_fetch_retries))
+            .select(
+                "url", "url_sha1", "host", "path", "depth", "parent_url",
+                "link_pos", (F.col("attempts") + 1).alias("attempts"),
+            )
+        )
+        retry_next = retry_next.unionByName(parse_retry)
         parsed = parsed_all.filter(F.col("p.error").isNull())
 
         if cfg.parsers == "bm1365":
