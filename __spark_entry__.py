@@ -786,6 +786,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multiprobe LSH: queries probe nbits+1 buckets (tiny-side
+    explode) to climb the single-bucket recall cliff; corpus untouched."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.topk_lsh(emb, queries, k=5, nbits=8, multiprobe_hamming=1)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos_sim",
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (deterministic lowest-id centroids,
     nprobe=2) — the cell-probing scale path next to brute-force/LSH."""
@@ -845,21 +859,30 @@ FROM rankd WHERE rank <= {k}
 """
 
 
-def _sql_ann(bucketed: bool) -> str:
+def _sql_ann(bucketed: bool, multiprobe: bool = False, nbits: int = 8) -> str:
     norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
     bucket_bits = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << i}"
-        for i in range(8)
+        for i in range(nbits)
     )
     bucket = f", ({bucket_bits})::BIGINT AS bucket" if bucketed else ""
     join_cond = "c.bucket = q.bucket AND c.vec_id <> q.vec_id" if bucketed \
         else "c.vec_id <> q.vec_id"
+    if multiprobe:
+        # Hamming-1 probe set: own bucket + one bit flipped per position
+        q_cte = f"""q AS (
+  SELECT vec_id, embedding, nrm,
+         unnest(list_concat([bucket],
+                list_transform(range({nbits}), i -> xor(bucket, 1 << i))))
+           AS bucket
+  FROM v WHERE vec_id % 100 = 0
+)"""
+    else:
+        q_cte = "q AS (\n  SELECT * FROM v WHERE vec_id % 100 = 0\n)"
     return f"""
 WITH v AS (
   SELECT vec_id, embedding, {norm} AS nrm{bucket} FROM embeddings
-), q AS (
-  SELECT * FROM v WHERE vec_id % 100 = 0
-), scored AS (
+), {q_cte}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_sql_cos("q.embedding", "c.embedding", "q.nrm", "c.nrm")}, 6) AS cos_sim
   FROM v c JOIN q ON {join_cond}
@@ -1215,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
@@ -1338,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _sql_dedup_embedding(block="lsh"),
         "ann_bruteforce": _sql_ann(bucketed=False),
         "ann_lsh": _sql_ann(bucketed=True),
+        "ann_lsh_multiprobe": _sql_ann(bucketed=True, multiprobe=True),
         "ann_ivf": _sql_ann_ivf(),
         "multimodal_meta": _SQL_META,
         "multimodal_real_meta": _SQL_REAL_META,

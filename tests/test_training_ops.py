@@ -232,6 +232,59 @@ class TestSimilarity:
         # 4 (negative first component) lands in another bucket; 1 and 3 share
         assert 1 in ids and 3 in ids and 4 not in ids
 
+    def test_lsh_multiprobe_fixes_boundary_miss(self, vectors):
+        """vec 4 ([-1,0,0,0]) is one sign flip (bit 0) from vec 0's bucket:
+        invisible to single-probe, found by Hamming-1 multiprobe."""
+        q = vectors.filter(F.col("vec_id") == 0)
+        single = {
+            r["neighbor_id"]
+            for r in similarity.topk_lsh(vectors, q, k=4, nbits=4).collect()
+        }
+        multi = {
+            r["neighbor_id"]
+            for r in similarity.topk_lsh(
+                vectors, q, k=4, nbits=4, multiprobe_hamming=1
+            ).collect()
+        }
+        assert 4 not in single and 4 in multi
+        assert single <= multi
+
+    def test_lsh_multiprobe_recall_measured(self, spark):
+        """Recall@5 vs brute force on a deterministic random corpus:
+        multiprobe must dominate single-probe per query (the candidate
+        superset argument) and strictly improve on this corpus."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(400, 16).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+            "vec_id: long, embedding: array<float>",
+        )
+        q = df.filter(F.col("vec_id") % 40 == 0)
+
+        def topk_sets(out):
+            by_q: dict = {}
+            for r in out.collect():
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return by_q
+
+        truth = topk_sets(similarity.topk_bruteforce(df, q, k=5))
+        single = topk_sets(similarity.topk_lsh(df, q, k=5, nbits=8))
+        multi = topk_sets(
+            similarity.topk_lsh(df, q, k=5, nbits=8, multiprobe_hamming=1)
+        )
+
+        def recall(got):
+            return sum(
+                len(got.get(qid, set()) & t) for qid, t in truth.items()
+            ) / sum(len(t) for t in truth.values())
+
+        r_single, r_multi = recall(single), recall(multi)
+        for qid, t in truth.items():
+            assert len(multi.get(qid, set()) & t) >= len(single.get(qid, set()) & t)
+        assert r_multi > r_single, (r_single, r_multi)
+
     def test_ivf_cells_and_recall(self, vectors):
         # centroids = 2 lowest-id vectors: cells around [1,0,0,0] and
         # (duplicate) [1,0,0,0] — force 3 centroids so the orthogonal and

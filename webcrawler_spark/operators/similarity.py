@@ -193,12 +193,24 @@ def topk_lsh(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe_hamming: int = 0,
 ) -> DataFrame:
-    """Bucketed ANN: rank only candidates in the query's sign bucket.
+    """Bucketed ANN: rank only candidates in the query's sign bucket(s).
 
     The bucket equi-join replaces the cross join — at 10^9 vectors this is
     a hash-partitioned join on ``bucket`` (skewed buckets split by AQE),
     with the same deterministic ranking as the exact path.
+
+    multiprobe_hamming=1 probes every bucket at Hamming distance <= 1 from
+    the query's own (an nbits+1-row explode of the TINY query side — the
+    corpus is untouched): a vector whose first components sit near a
+    hyperplane lands one sign flip away, which is exactly the recall cliff
+    single-bucket LSH has. Candidates per query grow ~(nbits+1)x, still
+    nothing like the cross join; a corpus vector lives in ONE bucket and
+    the probe buckets are distinct, so no (query, neighbor) pair
+    duplicates. The candidate superset can only improve top-k recall
+    (any item displacing a true-top-k hit is itself a true-top-k hit) —
+    measured in tests/test_training_ops.py.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -206,6 +218,14 @@ def topk_lsh(
         norm2(F.col(vec_col)).alias("qn"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
+    if multiprobe_hamming:
+        if multiprobe_hamming != 1:
+            raise ValueError("only Hamming<=1 multiprobe is implemented")
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
