@@ -94,6 +94,39 @@ def test_one_file_per_bucket_per_insert(spark, store):
     assert len(files) <= 8
 
 
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.parametrize("provider", ["parquet", "iceberg"])
+def test_seen_table_provider_seam(spark, tmp_path, provider):
+    """SURVEY M5's promise, compile-checked: both providers declare the
+    identical relational schema and an equivalent bucket layout; the
+    parquet leg round-trips for real, the iceberg leg runs whenever the
+    runtime jar is present and SKIPS (never fakes) when it is not."""
+    store = RoundStore(str(tmp_path / "ckpt"))
+    ddl_p = store.seen_table_ddl(8, "parquet")
+    ddl_i = store.seen_table_ddl(8, "iceberg")
+    assert RoundStore.SEEN_TABLE_SCHEMA in ddl_p
+    assert RoundStore.SEEN_TABLE_SCHEMA in ddl_i
+    assert "CLUSTERED BY (url_sha1)" in ddl_p and "INTO 8 BUCKETS" in ddl_p
+    assert "bucket(8, url_sha1)" in ddl_i
+    if provider == "iceberg" and not _iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar in this environment")
+    store.ensure_seen_table(spark, 8, provider=provider)
+    store.append_seen_bucketed(_keys(spark, 0, 500), rnd=0)
+    assert store.read_seen_bucketed(spark, upto=0).count() == 500
+    # provider pinned: a reopen cannot silently switch layouts
+    import json
+
+    with open(store._meta_path()) as f:
+        assert json.load(f)["seen_provider"] == provider
+
+
 def test_crawl_bucketed_matches_parquet_backend(spark, fixture_web, tmp_path):
     """Same crawl, both seen backends: identical order and seen set."""
     from webcrawler_spark.fixtures import WHITELIST

@@ -194,30 +194,51 @@ class RoundStore:
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_store_meta.json")
 
-    def ensure_seen_table(self, spark: SparkSession, n_buckets: int) -> str:
+    def seen_table_ddl(self, n_buckets: int, provider: str = "parquet") -> str:
+        """The Iceberg seam, as code: both providers declare the IDENTICAL
+        relational schema, and the physical layout maps 1:1 — datasource
+        `CLUSTERED BY (url_sha1) INTO N BUCKETS` is Iceberg's
+        `bucket(N, url_sha1)` partition transform. Swapping providers is
+        this DDL plus a catalog config; every reader/writer in this class
+        goes through the table name, not the layout."""
+        if provider == "parquet":
+            return (
+                f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
+                f"({self.SEEN_TABLE_SCHEMA}) USING PARQUET "
+                f"CLUSTERED BY (url_sha1) SORTED BY (url_sha1) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{self._seen_location()}'"
+            )
+        if provider == "iceberg":
+            return (
+                f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
+                f"({self.SEEN_TABLE_SCHEMA}) USING iceberg "
+                f"PARTITIONED BY (bucket({n_buckets}, url_sha1)) "
+                f"LOCATION '{self._seen_location()}'"
+            )
+        raise ValueError(f"unknown seen-table provider {provider!r}")
+
+    def ensure_seen_table(self, spark: SparkSession, n_buckets: int,
+                          provider: str = "parquet") -> str:
         """Create (or re-register after a session change) the bucketed seen
-        table. The bucket count is pinned in _store_meta.json on first use —
-        it must never change for the life of the store."""
+        table. Bucket count and provider are pinned in _store_meta.json on
+        first use — they must never change for the life of the store."""
         meta = {}
         if os.path.exists(self._meta_path()):
             with open(self._meta_path()) as f:
                 meta = json.load(f)
         if "seen_buckets" in meta:
             n_buckets = int(meta["seen_buckets"])
+            provider = meta.get("seen_provider", provider)
         else:
             meta["seen_buckets"] = int(n_buckets)
+            meta["seen_provider"] = provider
             tmp = self._meta_path() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path())
         self._seen_buckets = n_buckets
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
-            f"({self.SEEN_TABLE_SCHEMA}) USING PARQUET "
-            f"CLUSTERED BY (url_sha1) SORTED BY (url_sha1) "
-            f"INTO {n_buckets} BUCKETS "
-            f"LOCATION '{self._seen_location()}'"
-        )
+        spark.sql(self.seen_table_ddl(n_buckets, provider))
         return self.seen_table
 
     def append_seen_bucketed(self, keys: DataFrame, rnd: int) -> None:
