@@ -524,6 +524,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair mining -> cluster resolution: connected components over the
+    MinHash+LSH near-dup pairs by iterative min-label propagation (only
+    edge-touched docs iterate; the untouched majority appends once).
+    cluster_id = min doc_id of the component; singletons = own id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=12, n=3, bands=4, threshold=0.01)
+    out = dedup.duplicate_clusters(docs, pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _sql_dedup_clusters(max_iters: int = 8) -> str:
+    """Twin of duplicate_clusters over the minhash pairs: the same
+    min-label iteration unrolled max_iters times (MATERIALIZED so DuckDB
+    does not inline the chain exponentially); a converged Spark fixpoint
+    is stable under the extra iterations, so results match exactly."""
+    inner = _sql_dedup_minhash_lsh()
+    parts = [f"""
+pairs AS MATERIALIZED (SELECT id1, id2 FROM ({inner})),
+edges AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs
+),
+lbl_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""]
+    for i in range(max_iters):
+        parts.append(f"""
+lbl_{i + 1} AS MATERIALIZED (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM lbl_{i} l
+  LEFT JOIN edges e ON e.src = l.node
+  LEFT JOIN lbl_{i} nl ON nl.node = e.dst
+  GROUP BY l.node, l.label
+)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(l.label, d.doc_id)::BIGINT AS cluster_id
+FROM documents d LEFT JOIN lbl_{max_iters} l ON l.node = d.doc_id
+"""
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs).select(
@@ -1232,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1356,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _sql_corpus_clean(),
         "dedup_jaccard_capped": _sql_dedup_jaccard_capped(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "dedup_embedding": _sql_dedup_embedding(),

@@ -164,6 +164,40 @@ class TestDedup:
         ).count()
         assert none == 0
 
+    def test_duplicate_clusters(self, spark):
+        """Min-label propagation: a chain component collapses to its min id
+        (needs multiple rounds, not just direct neighbors), a separate
+        component keeps its own min, untouched docs are singletons."""
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "doc_id: long, text: string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8)], "id1: long, id2: long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(docs, pairs).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6,
+                       7: 7, 8: 7, 9: 9}
+
+    def test_duplicate_clusters_converges_within_max_iters(self, spark):
+        # a 9-node chain needs 8 propagation rounds worst-case; max_iters=8
+        # must reach the fixpoint (and the early-exit probe must not stop
+        # before labels settle)
+        n = 9
+        docs = spark.createDataFrame(
+            [(i, "") for i in range(n)], "doc_id: long, text: string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1: long, id2: long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(docs, pairs, max_iters=8).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
     def test_minhash_identical_docs_collide(self, docs):
         sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(12))
                 for r in dedup.minhash_signatures(docs, k=12).collect()}
@@ -342,8 +376,11 @@ class TestMultimodal:
         assert out[1] == (256, 192)   # scaled by 256/640
         assert out[2] == (100, 50)    # never upscaled
 
-    def test_real_decode_is_marked_seam(self):
-        with pytest.raises(NotImplementedError):
+    def test_real_decode_rejects_fixture_header(self):
+        # the seam is closed (real PNG/GIF/JPEG headers decode for real —
+        # tests/test_multimodal_codec.py); the FIXTURE header is not a
+        # real image and must not be mistaken for one
+        with pytest.raises(ValueError):
             multimodal.decode_real(b"IMG:1:1:jpg:x")
 
     def test_frame_sample_plan(self, spark):

@@ -567,3 +567,82 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )
+
+
+# ----------------------------------------------------- cluster resolution ----
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 8,
+) -> DataFrame:
+    """Near-duplicate PAIRS -> CLUSTERS: connected components by iterative
+    min-label propagation (cluster_id = min doc id in the component) — the
+    step a training-data pipeline runs after pair mining to pick one
+    keeper per duplicate group. Output: (id_col, cluster_id) for EVERY row
+    of ``df``; docs in no pair are their own cluster.
+
+    Spark-iterative done right at 10^10 docs:
+
+    * only edge-TOUCHED nodes iterate (duplicate docs are a small fraction
+      of the corpus); the untouched majority is appended once at the end
+      with cluster_id = own id — no per-iteration work scales with corpus
+      size, only with duplicate count;
+    * one join + one min-aggregate per round, labels localCheckpoint()ed
+      each round so the plan/lineage stays O(1) instead of growing per
+      iteration (swap for checkpoint(dir) on a real cluster);
+    * converges in O(component diameter) rounds — near-dup components are
+      shallow (mostly cliques from shared band buckets); ``max_iters``
+      bounds the loop, and the convergence probe (any label changed?) is
+      one aggregate per round.
+
+    Deterministic: min-label is order-free, so any engine agrees; the
+    DuckDB twin unrolls the same iteration max_iters times (a fixpoint is
+    stable under extra iterations, so early convergence still matches).
+    """
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    labels = touched.withColumn("label", F.col("node")).localCheckpoint()
+    edges = edges.localCheckpoint()
+
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+            .select(F.col("src").alias("node"), "_nl")
+        )
+        new_labels = (
+            labels.join(neigh, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("label").alias("_old")), on="node")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    rest = (
+        df.select(F.col(id_col).alias("node"))
+        .join(touched, on="node", how="left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return labels.unionByName(rest).select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
