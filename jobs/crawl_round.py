@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--salt-buckets", default="auto",
                     help="'auto' (hot-host probe, default), 'none', or an int")
     ap.add_argument("--max-fetch-retries", type=int, default=0)
+    ap.add_argument("--seen-backend", choices=["bucketed", "parquet"],
+                    default="bucketed")
+    ap.add_argument("--seen-buckets", type=int, default=None,
+                    help="bucket count for the seen table (pinned at store "
+                         "creation; default = defaultParallelism — pick "
+                         "~fleet cores at 10^10 URLs)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -48,7 +54,9 @@ def main() -> None:
     if args.robots:
         robots_df = spark.read.parquet(args.robots)
         budgets = robots_df.select("host", "budget_per_round")
-        robots = robots_df.select("host", "disallow_prefixes")
+        # prefer the full Allow+Disallow rules when the table carries them
+        rcol = "rules" if "rules" in robots_df.columns else "disallow_prefixes"
+        robots = robots_df.select("host", rcol)
 
     whitelist = args.whitelist.split(",") if args.whitelist else fixtures.WHITELIST
     sb = args.salt_buckets
@@ -59,6 +67,8 @@ def main() -> None:
         max_rounds=args.max_rounds,
         politeness_salt_buckets=salt,
         max_fetch_retries=args.max_fetch_retries,
+        seen_backend=args.seen_backend,
+        seen_buckets=args.seen_buckets,
     )
     result = run_crawl(
         spark, pages, seeds, cfg, checkpoint_dir=args.checkpoint,
