@@ -905,6 +905,130 @@ FROM rankd WHERE rank <= {k}
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (deterministic lowest-id init, 2
+    iterations, 6-dp-rounded means) + final hard assignment — closes the
+    trained-centroid seam of the IVF quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    out = similarity.kmeans_assign(emb, cents)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        "cos_sim",
+    )
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing k-means-TRAINED cells (the drop-in centroid table
+    topk_ivf documents) instead of the untrained lowest-id quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    out = similarity.topk_ivf(emb, queries, k=5, nprobe=2, centroids=cents)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos_sim",
+    )
+
+
+def _sql_kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations as MATERIALIZED CTEs (same fixpoint
+    trick as the dedup_clusters oracle): assignment = row_number over
+    round(cos, 6) DESC / cid ASC; update = per-component avg rounded to
+    6 dp — the rounding is what makes the two engines' FP summation
+    orders agree. Ends with ``cfin(cid, cv, cn)``."""
+    norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
+    cvnorm = "sqrt(" + _SQL_DOT.format(a="cv", b="cv") + ")"
+    mean_list = ", ".join(
+        f"round(avg(v.embedding[{i + 1}]::DOUBLE), 6)" for i in range(dim)
+    )
+    ctes = [
+        f"v AS MATERIALIZED (\n  SELECT vec_id, embedding, {norm} AS nrm"
+        " FROM embeddings)",
+        "c0 AS (\n  SELECT vec_id AS cid,"
+        " list_transform(embedding, x -> x::DOUBLE) AS cv\n"
+        f"  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_centroids}))",
+    ]
+    for t in range(1, n_iters + 1):
+        cos = _sql_cos("v.embedding", "c.cv", "v.nrm", "c.cn")
+        ctes.append(
+            f"cn{t - 1} AS (SELECT cid, cv, {cvnorm} AS cn FROM c{t - 1})"
+        )
+        ctes.append(f"""a{t} AS (
+  SELECT vid, cid FROM (
+    SELECT v.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cn{t - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""c{t} AS MATERIALIZED (
+  SELECT cid, list_value({mean_list}) AS cv
+  FROM a{t} JOIN v ON v.vec_id = a{t}.vid GROUP BY cid)""")
+    ctes.append(
+        f"cfin AS (SELECT cid, cv, {cvnorm} AS cn FROM c{n_iters})"
+    )
+    return ",\n".join(ctes)
+
+
+def _sql_kmeans_assign(
+    n_centroids: int = 8, n_iters: int = 2, dim: int = 64
+) -> str:
+    cos = _sql_cos("v.embedding", "c.cv", "v.nrm", "c.cn")
+    return f"""
+WITH {_sql_kmeans_ctes(n_centroids, n_iters, dim)}
+SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid, cos_sim FROM (
+  SELECT v.vec_id, c.cid, round({cos}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rn
+  FROM v CROSS JOIN cfin c) WHERE rn = 1
+"""
+
+
+def _sql_ann_ivf_trained(
+    n_centroids: int = 8, nprobe: int = 2, k: int = 5,
+    n_iters: int = 2, dim: int = 64,
+) -> str:
+    cell_cos = _sql_cos("s.embedding", "c.cv", "s.nrm", "c.cn")
+    pair_cos = _sql_cos("q.qv", "v.embedding", "q.qn", "v.nrm")
+    return f"""
+WITH {_sql_kmeans_ctes(n_centroids, n_iters, dim)},
+corpus_cells AS (
+  SELECT vid, cid FROM (
+    SELECT s.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS cr
+    FROM v s CROSS JOIN cfin c
+  ) WHERE cr <= 1
+), probes AS (
+  SELECT vid AS query_id, cid FROM (
+    SELECT s.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS cr
+    FROM v s CROSS JOIN cfin c
+    WHERE s.vec_id % 100 = 0
+  ) WHERE cr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, cc.vid AS neighbor_id,
+         round({pair_cos}, 6) AS cos_sim
+  FROM corpus_cells cc
+  JOIN probes p ON p.cid = cc.cid AND cc.vid <> p.query_id
+  JOIN v ON v.vec_id = cc.vid
+  JOIN (SELECT vec_id, embedding AS qv, nrm AS qn FROM v) q
+    ON q.vec_id = p.query_id
+), rankd AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       neighbor_id::BIGINT AS neighbor_id, cos_sim
+FROM rankd WHERE rank <= {k}
+"""
+
+
 def _sql_ann(bucketed: bool, multiprobe: bool = False, nbits: int = 8) -> str:
     norm = "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ")"
     bucket_bits = " + ".join(
@@ -1287,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "kmeans_assign": q_kmeans_assign,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1412,6 +1538,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann(bucketed=True),
         "ann_lsh_multiprobe": _sql_ann(bucketed=True, multiprobe=True),
         "ann_ivf": _sql_ann_ivf(),
+        "kmeans_assign": _sql_kmeans_assign(),
+        "ann_ivf_trained": _sql_ann_ivf_trained(),
         "multimodal_meta": _SQL_META,
         "multimodal_real_meta": _SQL_REAL_META,
         "multimodal_resize": _SQL_RESIZE,

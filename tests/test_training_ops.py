@@ -339,6 +339,61 @@ class TestSimilarity:
             (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in brute.collect()
         )
 
+    def test_kmeans_separates_clusters(self, spark):
+        # two tight cosine clusters around x-axis and y-axis
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.1, 0.9, 0.0, 0.0]),
+            (4, [0.8, 0.2, 0.0, 0.0]),
+            (5, [0.2, 0.8, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        cents = similarity.kmeans_centroids(df, n_centroids=2, n_iters=2)
+        assert [cid for cid, _ in cents] == [0, 1]
+        got = {
+            r["vec_id"]: r["cid"]
+            for r in similarity.kmeans_assign(df, cents).collect()
+        }
+        assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+        # centroid 0 = 6dp-rounded mean of its members
+        import numpy as np
+
+        want = np.round(np.mean([[1, 0], [0.9, 0.1], [0.8, 0.2]], axis=0), 6)
+        assert cents[0][1][:2] == pytest.approx(list(want), abs=2e-6)
+
+    def test_kmeans_deterministic_across_partitioning(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(120, 8).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        a = similarity.kmeans_centroids(df.repartition(2), 4, n_iters=2)
+        b = similarity.kmeans_centroids(df.repartition(13), 4, n_iters=2)
+        # 6dp rounding quantizes away partial-agg summation order
+        assert a == b
+
+    def test_kmeans_empty_cluster_drops(self, vectors):
+        # init centroids are ids 0 and 1 — identical vectors: every row
+        # tie-breaks to the LOWER cid, cluster 1 empties and drops out
+        cents = similarity.kmeans_centroids(vectors, n_centroids=2, n_iters=1)
+        assert [cid for cid, _ in cents] == [0]
+
+    def test_ivf_trained_full_probe_matches_brute(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        cents = similarity.kmeans_centroids(vectors, n_centroids=3, n_iters=2)
+        out = similarity.topk_ivf(
+            vectors, q, k=4, nprobe=max(len(cents), 1), centroids=cents
+        )
+        brute = similarity.topk_bruteforce(vectors, q, k=4)
+        assert sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out.collect()
+        ) == sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in brute.collect()
+        )
+
     def test_embedding_neardup(self, vectors):
         pairs = {
             (r["id1"], r["id2"]): r["cos_sim"]

@@ -102,6 +102,122 @@ def topk_bruteforce(
     )
 
 
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _lit_dot(vec: Column, vals: list[float]) -> Column:
+    """Dot of a column vector against a DRIVER-SIDE literal vector, as the
+    same strict left fold ((0 + a1*b1) + a2*b2)... the oracle uses — no
+    broadcast-join or shuffle, pure projection inside codegen."""
+    out = F.lit(0.0)
+    for i, x in enumerate(vals):
+        out = out + F.element_at(vec, i + 1).cast("double") * F.lit(float(x))
+    return out
+
+
+def _best_centroid(
+    vv: Column, vn: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Cosine argmax against literal centroids as ``array_max`` of
+    ``struct(score, -cid)`` — max score, tie -> LOWEST cid (the oracle's
+    ``ORDER BY score DESC, cid ASC``). Pure projection, zero shuffle."""
+    import math
+
+    entries = []
+    for cid, cv in cents:
+        cn = math.sqrt(sum(x * x for x in cv))
+        score = F.round(_lit_dot(vv, cv) / (vn * F.lit(cn)), 6)
+        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("n")))
+    return F.array_max(F.array(*entries))
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-assign every vector to its nearest trained centroid:
+    ``(vec_id, cid, cos_sim)`` — the trainer's projection-only scoring
+    exposed as an operator (full scan, no shuffle at all)."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("vv")
+    )
+    best = _best_centroid(F.col("vv"), norm2(F.col("vv")), centroids)
+    return v.select(
+        "vec_id",
+        (-best["n"]).alias("cid"),
+        best["s"].alias("cos_sim"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's trainer for IVF coarse centroids — closes the
+    "k-means-trained centroid table is a drop-in" seam of :func:`topk_ivf`.
+
+    Deterministic and seed-free end-to-end so any engine reproduces the
+    identical centroid table:
+
+    * init — the ``n_centroids`` lowest-id vectors (the same rule the
+      untrained quantizer uses);
+    * assign — cosine argmax computed as a PURE PROJECTION: centroids are
+      collected (KB — bounded by n_centroids x dim) and inlined as literal
+      fold expressions, exactly how MLlib broadcasts centroids per
+      iteration; zero shuffle, no per-vector window;
+    * update — ONE ``groupBy(cid)`` with per-component ``avg`` (map-side
+      partials), each mean rounded to 6 dp: the rounding quantizes away
+      FP summation-order noise, so the next iteration's assignments are
+      reproducible bit-for-bit across engines and partitionings;
+    * empty cells drop out (their cid simply stops existing), matching
+      the SQL twin's GROUP BY.
+
+    Per-iteration cost at 10^9 vectors: one full scan + one shuffle of
+    (cid, 64 partial sums) rows — nothing quadratic, no vector shuffle.
+    Ties (equal rounded cosine) break toward the LOWEST cid, mirroring
+    the oracle's ``ORDER BY score DESC, cid ASC``.
+
+    Returns the trained centroids as ``[(cid, [double, ...]), ...]``
+    (driver-side — they ARE small); feed to :func:`topk_ivf` via
+    ``centroids=``.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv")
+    )
+    init = (
+        v.orderBy(F.col("vid").asc()).limit(n_centroids).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["vid"]), [float(x) for x in r["vv"]]) for r in init
+    ]
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+
+    for _ in range(n_iters):
+        best = _best_centroid(F.col("vv"), norm2(F.col("vv")), cents)
+        assigned = v.select("vid", "vv", (-best["n"]).alias("cid"))
+        rows = (
+            assigned.groupBy("cid")
+            .agg(*[
+                F.round(F.avg(F.element_at("vv", i + 1)), 6).alias(f"c{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [float(r[f"c{i}"]) for i in range(dim)])
+            for r in rows
+        )
+    return cents
+
+
 def topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -110,6 +226,7 @@ def topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells, probe only the
     query's ``nprobe`` nearest cells.
@@ -131,13 +248,25 @@ def topk_ivf(
         F.col(vec_col).alias("vv"),
         norm2(F.col(vec_col)).alias("vn"),
     )
-    # TakeOrderedAndProject — distributed top-N, no single-task window
-    centroids = (
-        v.orderBy(F.col("vid").asc())
-        .limit(n_centroids)
-        .select(F.col("vid").alias("cid"), F.col("vv").alias("cv"),
-                F.col("vn").alias("cn"))
-    )
+    if centroids is not None:
+        # trained centroid table (e.g. kmeans_centroids) — the drop-in
+        # replacement path: tiny driver-side list -> broadcast DataFrame
+        cent_df = emb.sparkSession.createDataFrame(
+            [(cid, cv) for cid, cv in centroids],
+            "cid long, cv array<double>",
+        )
+        centroids_df = cent_df.select(
+            "cid", "cv", norm2(F.col("cv")).alias("cn")
+        )
+    else:
+        # TakeOrderedAndProject — distributed top-N, no single-task window
+        centroids_df = (
+            v.orderBy(F.col("vid").asc())
+            .limit(n_centroids)
+            .select(F.col("vid").alias("cid"), F.col("vv").alias("cv"),
+                    F.col("vn").alias("cn"))
+        )
+    centroids = centroids_df
     cell_score = F.round(
         dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
     )
