@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from webcrawler_spark.functions import urls as U
 from webcrawler_spark.functions.urls import _DOMAIN_PATTERNS, _IP_PATTERN
-from webcrawler_spark.operators import admission, dedup, multimodal, similarity, textstats
+from webcrawler_spark import streaming
+from webcrawler_spark.operators import (
+    admission, dedup, multimodal, sessions, similarity, textstats,
+)
 from webcrawler_spark.operators.politeness import ranked
 from webcrawler_spark.operators.textstats import BPE_PATTERN, LANG_MARKERS
 
@@ -313,8 +316,10 @@ def q_primary_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries — text analysis
 # ---------------------------------------------------------------------------
 
-def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+def _token_stats_select(docs: DataFrame) -> DataFrame:
+    """Shared by the batch query and its streaming twin — the streaming
+    plan IS the batch plan (same Column exprs), which is what makes the
+    drained stream hash-match the same oracle."""
     t = F.col("text")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -323,6 +328,10 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.punct_count(t).cast("long").alias("n_punct"),
         textstats.mean_word_len(t).alias("mean_word_len"),
     )
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _token_stats_select(_t(spark, sf_dir, "documents"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,6 +1366,98 @@ cand_{r + 1} AS MATERIALIZED (
 
 
 # ---------------------------------------------------------------------------
+# queries — Structured Streaming twins + event sessionization
+# ---------------------------------------------------------------------------
+
+def q_stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the documents table drained with the
+    available-now trigger: the SAME projection as text_token_stats, so
+    the result hash-matches the same batch oracle — the equivalence that
+    makes streaming results oracle-checkable at all."""
+    sdf = streaming.stream_table(spark, f"{sf_dir}/documents.parquet")
+    return streaming.drain_available_now(_token_stats_select(sdf))
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup state over a documents stream (update-mode
+    aggregation state keyed by content hash, one state row per DISTINCT
+    hash); drained result == the batch dedup_exact groupBy."""
+    sdf = streaming.stream_table(spark, f"{sf_dir}/documents.parquet")
+    out = streaming.exact_dedup_counts_stream(sdf)
+    drained = streaming.drain_available_now(out, output_mode="complete")
+    return drained.select(
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+    )
+
+
+def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a 2h watermark over a
+    streaming events source; epoch-aligned 1h windows make the batch twin
+    a date_trunc. Window starts exported as epoch MICROSECONDS (integer —
+    no tz/format ambiguity across engines)."""
+    sdf = streaming.stream_table(spark, f"{sf_dir}/events.parquet")
+    out = streaming.windowed_event_stats(sdf, window="1 hour", watermark="2 hours")
+    drained = streaming.drain_available_now(out, output_mode="complete")
+    return drained.select(
+        sessions.epoch_us(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the events log — integer-
+    microsecond boundary math, per-user windows, one groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessions.sessionize(ev, gap_minutes=30)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        sessions.epoch_us(F.col("session_start")).alias("session_start_us"),
+        sessions.epoch_us(F.col("session_end")).alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+def _sql_events_window() -> str:
+    return """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sql_events_sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1413,6 +1514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "kmeans_assign": q_kmeans_assign,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "stream_token_stats": q_stream_token_stats,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_events_window": q_stream_events_window,
+        "events_sessionize": q_events_sessionize,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1540,6 +1645,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _sql_ann_ivf(),
         "kmeans_assign": _sql_kmeans_assign(),
         "ann_ivf_trained": _sql_ann_ivf_trained(),
+        # streaming twins reuse the BATCH oracles: drained available-now
+        # streams are defined to equal the batch query over the same files
+        "stream_token_stats": _sql_token_stats(),
+        "stream_dedup_counts": """
+            SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies,
+                   min(doc_id)::BIGINT AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "stream_events_window": _sql_events_window(),
+        "events_sessionize": _sql_events_sessionize(),
         "multimodal_meta": _SQL_META,
         "multimodal_real_meta": _SQL_REAL_META,
         "multimodal_resize": _SQL_RESIZE,
