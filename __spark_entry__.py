@@ -27,7 +27,8 @@ from webcrawler_spark.functions import urls as U
 from webcrawler_spark.functions.urls import _DOMAIN_PATTERNS, _IP_PATTERN
 from webcrawler_spark import streaming
 from webcrawler_spark.operators import (
-    admission, dedup, multimodal, sessions, similarity, textstats,
+    admission, dedup, graph, multimodal, packing, sampling, sessions,
+    similarity, snapshot, textindex, textstats,
 )
 from webcrawler_spark.operators.politeness import ranked
 from webcrawler_spark.operators.textstats import BPE_PATTERN, LANG_MARKERS
@@ -1458,6 +1459,347 @@ FROM s GROUP BY user_id, session_idx
 
 
 # ---------------------------------------------------------------------------
+# queries — link graph, sampling, packing, CDC, indexing, WARC (round 3)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-unit PageRank (5 iterations, damping 85/100) over the
+    deterministic synthetic link graph derived from the documents table
+    (operators/graph.synth_link_graph — same affine rules in the oracle).
+    Engine-exact: every step is integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    edges = graph.synth_link_graph(nodes, n)
+    return graph.pagerank(nodes, edges, n, iters=_PR_ITERS).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    )
+
+
+def _sql_pagerank(iters: int = _PR_ITERS) -> str:
+    """Unrolled-iteration DuckDB twin of graph.pagerank (MATERIALIZED per
+    round so the optimizer does not inline the chain exponentially)."""
+    n_sub = "(SELECT n FROM nn)"
+    base = f"(1000000000 // {n_sub})"
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+        f"""edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT node AS src, (node * 7 + 3) % {n_sub} AS dst FROM nodes WHERE node % 2 != 0
+    UNION ALL
+    SELECT node, (node * 13 + 5) % {n_sub} FROM nodes WHERE node % 3 != 0
+    UNION ALL
+    SELECT node, (node * 31 + 11) % {n_sub} FROM nodes WHERE node % 4 != 0
+  ) WHERE dst != src
+)""",
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS k FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, {base}::BIGINT AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(r), 0)::BIGINT AS dm "
+            f"FROM r{i} WHERE node NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.r // o.k)::BIGINT AS inc
+  FROM edges e JOIN r{i} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         ((15 * {base}) // 100
+          + (85 * (coalesce(c.inc, 0) + (SELECT dm FROM d{i}) // {n_sub})) // 100
+         )::BIGINT AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node::BIGINT AS doc_id, r AS rank_units FROM r{iters}"
+    )
+
+
+_MIX_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.125}
+_MIX_DEFAULT = 0.05
+_MIX_SALT = "mix1"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bernoulli mixture sampling — deterministic hash
+    membership, pure scan-side filter (no shuffle, no RNG)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "source", _MIX_FRACTIONS, _MIX_DEFAULT, key_col="doc_id",
+        salt=_MIX_SALT,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def _sql_sample_stratified() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * sampling.RATE_DENOM))}"
+        for k, v in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|{_MIX_SALT}'), 1, 14))::BIGINT
+      % {sampling.RATE_DENOM}
+      < CASE source {cases} ELSE {int(round(_MIX_DEFAULT * sampling.RATE_DENOM))} END
+"""
+
+
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (hash-ordered reservoir
+    analog): 20 docs per language."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_topk(docs, "lang", k=20, key_col="doc_id",
+                                   salt=_MIX_SALT)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+def _sql_sample_topk() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|{_MIX_SALT}'), 1, 14))::BIGINT
+                    % {sampling.RATE_DENOM} ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, lang, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 20
+"""
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing metadata: 8 hash shards, 512
+    token windows, one window pass per shard."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        "pack_id",
+        "offset_in_pack",
+    )
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|pack'), 1, 14))::BIGINT
+           % {sampling.RATE_DENOM} % {_PACK_SHARDS} AS shard,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_SQL_TOKS}) END)::BIGINT AS n_tokens
+  FROM documents
+), w AS (
+  SELECT *, sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS before
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, shard::BIGINT AS shard, n_tokens,
+       (shard * {packing.PACKS_PER_SHARD} + before // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (before % {_PACK_BUDGET})::BIGINT AS offset_in_pack
+FROM w
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic corpus snapshots derived from documents
+    (old = id%7!=0; new = id%5!=0 with id%11==0 texts revised): one
+    full-outer hash-compare join, changed minority only."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0)
+    new = docs.filter(did % 5 != 0).withColumn(
+        "text",
+        F.when(did % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")),
+    )
+    out = snapshot.snapshot_diff(old, new)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status", "old_hash", "new_hash",
+    )
+
+
+def _sql_snapshot_diff() -> str:
+    return """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 7 != 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS new_hash
+  FROM documents WHERE doc_id % 5 != 0
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN old_hash != new_hash THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, status, old_hash, new_hash
+FROM j WHERE status != 'unchanged'
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> (df, sorted postings string): one explode + one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return textindex.inverted_index(docs)
+
+
+def _sql_inverted_index() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT term, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per doc by integer-scaled tf/df."""
+    docs = _t(spark, sf_dir, "documents")
+    return textindex.top_terms(docs, k=3)
+
+
+def _sql_tfidf_topk() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         ((tf.tf * {textindex.SCORE_UNIT}) // dfc.df)::BIGINT AS score
+  FROM tf JOIN dfc USING (term)
+), r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS rank
+  FROM s
+)
+SELECT doc_id::BIGINT AS doc_id, term, tf, df, score, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+_WARC_DIR = "/tmp/spark_graft_warc"
+_WARC_FILES = 8
+
+
+def _ensure_warc_fixture(sf_dir: str) -> str:
+    """Stage deterministic WARC files (mixed plain + per-record-gzip)
+    built from the documents table — test scaffolding; the OPERATOR under
+    test is the distributed reader. Cached per sf_dir."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as pq
+
+    from webcrawler_spark.sources import warc
+
+    out = os.path.join(_WARC_DIR, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(out, "_done.json")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    )
+    epoch = datetime(2024, 1, 1)
+    chunk = max(1, (len(rows) + _WARC_FILES - 1) // _WARC_FILES)
+    total = 0
+    for i in range(0, len(rows), chunk):
+        gz = (i // chunk) % 2 == 1  # alternate plain / gzip-member files
+        path = os.path.join(
+            out, f"part-{i // chunk:03d}.warc" + (".gz" if gz else "")
+        )
+        total += warc.write_warc(
+            (
+                (
+                    f"https://warc.example.org/doc/{d}",
+                    (epoch + timedelta(seconds=int(d))).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    ),
+                    t.encode("utf-8"),
+                )
+                for d, t in rows[i : i + chunk]
+            ),
+            path,
+            gzip_members=gz,
+        )
+    with open(marker, "w") as f:
+        json.dump({"records": total}, f)
+    return out
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC ingestion (binaryFile -> Arrow record parser) of a
+    staged Common-Crawl-style archive of the documents table; verified
+    against the documents table itself."""
+    from webcrawler_spark.sources import warc
+
+    out = _ensure_warc_fixture(sf_dir)
+    recs = warc.read_warc(spark, out)
+    return recs.filter(F.col("error").isNull()).select(
+        "url",
+        "warc_date",
+        F.col("http_status").cast("long").alias("http_status"),
+        "mime",
+        F.length(F.col("body")).cast("long").alias("n_bytes"),
+        F.md5(F.col("body")).alias("content_md5"),
+    )
+
+
+def _sql_warc_parse() -> str:
+    return """
+SELECT 'https://warc.example.org/doc/' || doc_id::VARCHAR AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       200::BIGINT AS http_status,
+       'text/html' AS mime,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1518,6 +1860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": q_stream_dedup_counts,
         "stream_events_window": q_stream_events_window,
         "events_sessionize": q_events_sessionize,
+        "pagerank": q_pagerank,
+        "sample_stratified": q_sample_stratified,
+        "sample_topk": q_sample_topk,
+        "pack_sequences": q_pack_sequences,
+        "snapshot_diff": q_snapshot_diff,
+        "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
+        "warc_parse": q_warc_parse,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1655,6 +2005,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_events_window": _sql_events_window(),
         "events_sessionize": _sql_events_sessionize(),
+        "pagerank": _sql_pagerank(),
+        "sample_stratified": _sql_sample_stratified(),
+        "sample_topk": _sql_sample_topk(),
+        "pack_sequences": _sql_pack_sequences(),
+        "snapshot_diff": _sql_snapshot_diff(),
+        "inverted_index": _sql_inverted_index(),
+        "tfidf_topk": _sql_tfidf_topk(),
+        "warc_parse": _sql_warc_parse(),
         "multimodal_meta": _SQL_META,
         "multimodal_real_meta": _SQL_REAL_META,
         "multimodal_resize": _SQL_RESIZE,

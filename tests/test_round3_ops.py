@@ -1,0 +1,231 @@
+"""Round-3 operators: PageRank, sampling, packing, snapshot diff,
+inverted index / term ranking, WARC source.
+
+Each operator's contract query is hash-checked against DuckDB by the
+driver; these tests pin the SEMANTICS independently — pure-Python
+re-derivations on tiny inputs, invariants, and format round-trips."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators import graph, packing, sampling, snapshot, textindex
+from webcrawler_spark.sources import warc
+
+
+# ------------------------------------------------------------- pagerank ----
+
+def _py_pagerank(n, edges, iters):
+    """Single-threaded integer-unit PageRank, same semantics as the op."""
+    from collections import defaultdict
+
+    base = graph.UNIT // n
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    r = {v: base for v in range(n)}
+    for _ in range(iters):
+        dm = sum(r[v] for v in range(n) if v not in out)
+        inc = defaultdict(int)
+        for s, dsts in out.items():
+            share = r[s] // len(dsts)
+            for d in dsts:
+                inc[d] += share
+        r = {
+            v: (15 * base) // 100 + (85 * (inc[v] + dm // n)) // 100
+            for v in range(n)
+        }
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    n = 60
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges_df = graph.synth_link_graph(nodes, n)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {
+        r["node"]: r["rank_units"]
+        for r in graph.pagerank(nodes, edges_df, n, iters=4).collect()
+    }
+    assert got == _py_pagerank(n, edges, 4)
+
+
+def test_pagerank_sink_outranks_source(spark):
+    # star graph: everyone links to node 0 -> node 0 must dominate
+    n = 10
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)], "src: long, dst: long"
+    )
+    r = {
+        row["node"]: row["rank_units"]
+        for row in graph.pagerank(nodes, edges, n, iters=5).collect()
+    }
+    assert r[0] > 5 * max(r[i] for i in range(1, n))
+
+
+def test_synth_graph_no_self_loops_and_dedup(spark):
+    n = 97
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    e = graph.synth_link_graph(nodes, n)
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    assert e.count() == e.distinct().count()
+
+
+# ------------------------------------------------------------- sampling ----
+
+def test_hash_sample_fraction_and_determinism(spark):
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    s1 = sampling.hash_sample(df, "doc_id", 0.25, salt="s")
+    n1 = s1.count()
+    assert abs(n1 / 20000 - 0.25) < 0.02  # uniformity of the md5 bucket
+    assert n1 == sampling.hash_sample(df, "doc_id", 0.25, salt="s").count()
+    # membership is monotone in the rate: the 25% sample contains the 10% one
+    ids25 = {r["doc_id"] for r in s1.collect()}
+    ids10 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(df, "doc_id", 0.10, salt="s").collect()
+    }
+    assert ids10 <= ids25
+    # and stable under corpus growth (prefix of a larger table agrees)
+    big = spark.range(40000).select(F.col("id").alias("doc_id"))
+    ids25_big = {
+        r["doc_id"]
+        for r in sampling.hash_sample(big, "doc_id", 0.25, salt="s").collect()
+        if r["doc_id"] < 20000
+    }
+    assert ids25_big == ids25
+
+
+def test_stratified_topk_exact_k(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("stratum")
+    )
+    out = sampling.stratified_topk(df, "stratum", k=7, key_col="doc_id")
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7}
+    ranks = [r["sample_rank"] for r in out.filter("stratum = 1").collect()]
+    assert sorted(ranks) == list(range(1, 8))
+
+
+# -------------------------------------------------------------- packing ----
+
+def test_pack_sequences_concat_chunk_semantics(spark):
+    rows = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = packing.pack_sequences(df, budget=100, n_shards=4).collect()
+    assert len(out) == 200  # every doc assigned exactly once
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        run = 0
+        for r in rs:  # replay the concat stream per shard
+            assert r["pack_id"] == shard * packing.PACKS_PER_SHARD + run // 100
+            assert r["offset_in_pack"] == run % 100
+            run += r["n_tokens"]
+
+
+def test_pack_ids_disjoint_across_shards(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id: long, text: string"
+    )
+    out = packing.pack_sequences(df, budget=7, n_shards=8)
+    pairs = out.select("shard", "pack_id").distinct().collect()
+    assert all(
+        r["pack_id"] // packing.PACKS_PER_SHARD == r["shard"] for r in pairs
+    )
+
+
+# ------------------------------------------------------------- snapshot ----
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot.snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+# ------------------------------------------------------------ textindex ----
+
+def test_inverted_index_postings(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "")], "doc_id: long, text: string"
+    )
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in textindex.inverted_index(df).collect()}
+    assert got == {"a": (1, "1"), "b": (2, "1,2"), "c": (1, "2")}
+
+
+def test_top_terms_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "x x y z"), (2, "y z z")], "doc_id: long, text: string"
+    )
+    out = textindex.top_terms(df, k=2).collect()
+    d1 = sorted((r["rank"], r["term"]) for r in out if r["doc_id"] == 1)
+    # doc1: x tf=2 df=1 -> 2e9 ; y tf=1 df=2 -> 5e8 ; z tf=1 df=2 -> 5e8 (tie -> y)
+    assert d1 == [(1, "x"), (2, "y")]
+
+
+# ----------------------------------------------------------------- warc ----
+
+def _mk_records(n):
+    return [
+        (f"https://ex.org/{i}", "2024-01-01T00:00:0%dZ" % (i % 10),
+         f"body {i} é".encode("utf-8"))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(spark, tmp_path, gz):
+    recs = _mk_records(5)
+    p = str(tmp_path / ("a.warc" + (".gz" if gz else "")))
+    assert warc.write_warc(recs, p, gzip_members=gz) == 5
+    out = sorted(warc.read_warc(spark, p).collect(), key=lambda r: r["url"])
+    assert [r["url"] for r in out] == [u for u, _, _ in recs]
+    for r, (u, d, body) in zip(out, recs):
+        assert r["error"] is None
+        assert r["warc_date"] == d
+        assert r["http_status"] == 200
+        assert r["mime"] == "text/html"
+        assert bytes(r["body"]) == body  # byte-identical payload
+
+
+def test_warc_truncated_record_is_row_level_error(spark, tmp_path):
+    data = b"".join(
+        warc.warc_record_bytes(u, d, b) for u, d, b in _mk_records(3)
+    )
+    p = tmp_path / "t.warc"
+    p.write_bytes(data[: len(data) - 10])  # chop into the last block
+    rows = list(warc.parse_warc_bytes(p.read_bytes(), source="t"))
+    good = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert "truncated" in bad[0]["error"]
+
+
+def test_warc_gzip_members_are_individually_framed(tmp_path):
+    """Common-Crawl layout: each record its own gzip member — a reader
+    that stops at the first member would lose records."""
+    recs = _mk_records(4)
+    p = str(tmp_path / "m.warc.gz")
+    warc.write_warc(recs, p, gzip_members=True)
+    raw = open(p, "rb").read()
+    assert raw.count(b"\x1f\x8b\x08") >= 4  # >= 4 member headers
+    # single-member decompress sees ONE record; the member loop sees all 4
+    first = gzip.decompress(raw)  # gzip.decompress reads all members in 3.12;
+    parsed = list(warc.parse_warc_bytes(raw))  # the parser must regardless
+    assert len(parsed) == 4
+    assert len(first) >= 1
