@@ -27,8 +27,8 @@ from webcrawler_spark.functions import urls as U
 from webcrawler_spark.functions.urls import _DOMAIN_PATTERNS, _IP_PATTERN
 from webcrawler_spark import streaming
 from webcrawler_spark.operators import (
-    admission, dedup, graph, multimodal, packing, sampling, sessions,
-    similarity, snapshot, textindex, textstats,
+    admission, asof, dedup, graph, multimodal, packing, sampling, sessions,
+    similarity, sketches, snapshot, textindex, textstats,
 )
 from webcrawler_spark.operators.politeness import ranked
 from webcrawler_spark.operators.textstats import BPE_PATTERN, LANG_MARKERS
@@ -1800,6 +1800,116 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# queries — sketches + as-of join (round 3, batch 2)
+# ---------------------------------------------------------------------------
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL sketch of distinct users per event type: 256
+    md5-bucket registers per group, one map-side-combined groupBy. The
+    register table IS the mergeable sketch; estimate = 256-row fold."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_registers(ev, "user_id", group_cols=["event_type"])
+
+
+def _sql_hll_registers() -> str:
+    return """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS bucket,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 14))::BIGINT AS v
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END)::BIGINT AS max_rho
+FROM h GROUP BY event_type, bucket
+"""
+
+
+_HH_THRESHOLD = 300
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over document tokens: 4x1024 counter
+    sketch, est = min over rows, keep est >= threshold (never misses a
+    true heavy hitter — CMS estimates are one-sided)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = docs.filter(F.length(t) > 0).select(
+        F.explode(textstats.tokens(t)).alias("token")
+    )
+    return sketches.heavy_hitters(toks, "token", threshold=_HH_THRESHOLD)
+
+
+def _sql_heavy_hitters() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS}) AS key FROM documents WHERE length(trim(text)) > 0
+), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+hashed AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || key), 1, 14))::BIGINT
+           % {sketches.CMS_WIDTH} AS bucket
+  FROM tok CROSS JOIN js
+), sketch AS (
+  SELECT j AS row, bucket, count(*)::BIGINT AS cnt FROM hashed GROUP BY j, bucket
+), keys AS (SELECT DISTINCT key FROM tok),
+probes AS (
+  SELECT key, j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || key), 1, 14))::BIGINT
+           % {sketches.CMS_WIDTH} AS bucket
+  FROM keys CROSS JOIN js
+)
+SELECT key, min(cnt)::BIGINT AS est
+FROM probes JOIN sketch ON sketch.row = probes.j AND sketch.bucket = probes.bucket
+GROUP BY key HAVING min(cnt) >= {_HH_THRESHOLD}
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct as-of join: each click matched to the user's
+    latest purchase at or before it — merge pattern (one shuffle + one
+    window pass), not a range-join pair explosion."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof.asof_join(clicks, purchases)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts_us", "matched_id", "matched_ts_us", "matched_value",
+    )
+
+
+def _sql_asof_join() -> str:
+    return """
+WITH r0 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us, 0 AS side,
+         event_id AS rid, value AS rval, NULL::BIGINT AS lid
+  FROM r0 WHERE rn = 1
+), l AS (
+  SELECT user_id, epoch_us(ts), 1, NULL::BIGINT, NULL::DOUBLE, event_id
+  FROM events WHERE event_type = 'click'
+), m AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+c AS (
+  SELECT k, ts_us, side, lid,
+         last_value(rid IGNORE NULLS) OVER w AS matched_id,
+         last_value(rval IGNORE NULLS) OVER w AS matched_value,
+         last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER w AS matched_ts_us
+  FROM m
+  WINDOW w AS (PARTITION BY k ORDER BY ts_us ASC, side ASC, lid ASC NULLS FIRST
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT k::BIGINT AS user_id, lid::BIGINT AS event_id, ts_us,
+       matched_id, matched_ts_us, matched_value
+FROM c WHERE side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1868,6 +1978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
         "warc_parse": q_warc_parse,
+        "hll_registers": q_hll_registers,
+        "heavy_hitters": q_heavy_hitters,
+        "asof_join": q_asof_join,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -2013,6 +2126,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "tfidf_topk": _sql_tfidf_topk(),
         "warc_parse": _sql_warc_parse(),
+        "hll_registers": _sql_hll_registers(),
+        "heavy_hitters": _sql_heavy_hitters(),
+        "asof_join": _sql_asof_join(),
         "multimodal_meta": _SQL_META,
         "multimodal_real_meta": _SQL_REAL_META,
         "multimodal_resize": _SQL_RESIZE,

@@ -229,3 +229,69 @@ def test_warc_gzip_members_are_individually_framed(tmp_path):
     parsed = list(warc.parse_warc_bytes(raw))  # the parser must regardless
     assert len(parsed) == 4
     assert len(first) >= 1
+
+
+# ------------------------------------------------------------- sketches ----
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from webcrawler_spark.operators import sketches
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    regs = sketches.hll_registers(df, "k")
+    est = sketches.hll_estimate(
+        [(r["bucket"], r["max_rho"]) for r in regs.collect()]
+    )
+    assert abs(est - 5000) / 5000 < 0.10  # m=256 -> ~6.5% typical rel err
+    # merge property: sketch(A) max-merged with sketch(B) == sketch(A∪B)
+    a = sketches.hll_registers(df.filter("k < 3000"), "k")
+    b = sketches.hll_registers(df.filter("k >= 2000"), "k")  # overlapping
+    merged = (
+        a.unionByName(b).groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = {(r["bucket"], r["max_rho"]) for r in regs.collect()}
+    assert {(r["bucket"], r["max_rho"]) for r in merged.collect()} == whole
+
+
+def test_cms_never_underestimates(spark):
+    from webcrawler_spark.operators import sketches
+
+    rows = [(f"k{i % 50}",) for i in range(2000)]  # true count 40 each
+    df = spark.createDataFrame(rows, "token: string")
+    est = {
+        r["key"]: r["est"]
+        for r in sketches.heavy_hitters(df, "token", threshold=0).collect()
+    }
+    assert len(est) == 50
+    assert all(v >= 40 for v in est.values())  # one-sided error
+    # exact recall at the threshold: every true heavy hitter survives
+    hh = sketches.heavy_hitters(df, "token", threshold=40)
+    assert hh.count() == 50
+
+
+# ----------------------------------------------------------- as-of join ----
+
+def test_asof_join_semantics(spark):
+    from webcrawler_spark.operators import asof
+
+    # ts as naive timestamps; integer seconds for clarity
+    L = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 100, 0.0),
+         (1, "2024-01-01 00:00:10", 101, 0.0),
+         (2, "2024-01-01 00:00:01", 102, 0.0)],
+        "user_id: long, ts: string, event_id: long, value: double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 7, 1.5),   # exact tie: counts (<=)
+         (1, "2024-01-01 00:00:05", 9, 2.5),   # same ts: max id (9) wins
+         (1, "2024-01-01 00:00:08", 11, 3.5),
+         (3, "2024-01-01 00:00:00", 13, 9.9)],
+        "user_id: long, ts: string, event_id: long, value: double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: (r["matched_id"], r["matched_value"])
+        for r in asof.asof_join(L, R).collect()
+    }
+    assert got[100] == (9, 2.5)    # tie at :05 -> max-id right row
+    assert got[101] == (11, 3.5)   # latest <= :10
+    assert got[102] == (None, None)  # user 2 has no purchases
