@@ -109,8 +109,31 @@ def main() -> None:
         "ann_ivf",
         "multimodal_meta",
     ]
+    # round-3 additions: link-graph, sampling/packing/CDC/indexing, WARC,
+    # sketches, as-of, sessionization, trained IVF, cluster resolution.
+    # Kept separate so `suite_r2_subtotal` stays comparable across rounds.
+    suite_r3 = [
+        "text_lang_id",
+        "text_repetition",
+        "corpus_clean",
+        "dedup_clusters",
+        "ann_lsh_multiprobe",
+        "ann_ivf_trained",
+        "pagerank",
+        "sample_stratified",
+        "pack_sequences",
+        "snapshot_diff",
+        "tfidf_topk",
+        "warc_parse",
+        "hll_registers",
+        "heavy_hitters",
+        "asof_join",
+        "events_sessionize",
+        "stream_dedup_counts",
+        "multimodal_real_meta",
+    ]
     qs = entrymod.queries()
-    for name in suite:
+    for name in suite + suite_r3:
         # best of 2: the first execution of a unique plan pays 2-5s of JVM
         # codegen/JIT that amortizes away at scale (and in any long-lived
         # session); the steady-state number is the honest per-query cost
@@ -123,6 +146,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # cross-round comparability: the r2 bench ran crawl/parse/frontier +
+    # the original 18-query suite; the r3 total also includes suite_r3
+    r2_names = ["crawl_e2e", "parse_fetch", "frontier_1m"] + suite
+    r2_subtotal = round(sum(timings[n] for n in r2_names if n in timings), 3)
     out = {
         "metric": "pages-fetched/sec and frontier-URLs-processed/sec (crawl_e2e + frontier_1m + operator suite wall)",
         "value": total,
@@ -132,6 +159,7 @@ def main() -> None:
         "pages_per_sec": pw["pages_per_sec"],
         "crawl_pages_per_sec_throttled": pages_per_sec,
         "crawl_frontier_urls_per_sec": crawl_urls_per_sec,
+        "suite_r2_subtotal": r2_subtotal,
         "frontier_urls_per_sec": fw["urls_per_sec"],
         "frontier_n": n_frontier,
         "parse_pages": pw["pages_parsed"],
