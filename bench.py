@@ -148,7 +148,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # cross-round comparability: the r2 bench ran crawl/parse/frontier +
     # the original 18-query suite; the r3 total also includes suite_r3
-    r2_names = ["crawl_e2e", "parse_fetch", "frontier_1m"] + suite
+    # dedup_jaccard_capped postdates the r2 bench run — excluded here
+    r2_names = ["crawl_e2e", "parse_fetch", "frontier_1m"] + [
+        n for n in suite if n != "dedup_jaccard_capped"
+    ]
     r2_subtotal = round(sum(timings[n] for n in r2_names if n in timings), 3)
     out = {
         "metric": "pages-fetched/sec and frontier-URLs-processed/sec (crawl_e2e + frontier_1m + operator suite wall)",
