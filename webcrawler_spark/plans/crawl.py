@@ -181,6 +181,11 @@ def run_crawl(
     store = RoundStore(checkpoint_dir)
     result = CrawlResult(store=store)
     bucketed = cfg.seen_backend == "bucketed"
+    # backend is pinned per store: resuming a parquet-backend checkpoint
+    # under 'bucketed' (or vice versa) fails loudly instead of silently
+    # reading an empty seen table; legacy stores without a pin are safe
+    # because the bucketed resume path backfills below
+    store.pin_backend(cfg.seen_backend)
     if bucketed:
         store.ensure_seen_table(
             spark, cfg.seen_buckets or spark.sparkContext.defaultParallelism
@@ -206,6 +211,10 @@ def run_crawl(
             if _os.path.exists(store.round_path(last, "retry"))
             else _empty(spark, QUEUE_SCHEMA)
         )
+        if bucketed:
+            # legacy / cross-backend checkpoints: the table may be missing
+            # committed rounds' keys — refill from seen_delta parquet first
+            store.backfill_seen_bucketed(spark, upto=last)
         seen = (
             store.read_seen_bucketed(spark, upto=last)
             if bucketed

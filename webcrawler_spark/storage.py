@@ -194,6 +194,41 @@ class RoundStore:
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_store_meta.json")
 
+    def _read_meta(self) -> dict:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        return {}
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def pin_backend(self, backend: str) -> None:
+        """Pin the seen backend on first use; fail loudly on a mismatch.
+
+        A checkpoint written with seen_backend='parquet' holds its seen set
+        only in per-round seen_delta parquet; resuming it under 'bucketed'
+        would read a freshly created EMPTY table and silently re-admit every
+        previously crawled URL. A store with no pin (legacy, pre-round-4) is
+        pinned to the resuming run's backend — safe, because the bucketed
+        resume path backfills the table from the committed seen_delta
+        parquet (backfill_seen_bucketed) before its first read."""
+        meta = self._read_meta()
+        pinned = meta.get("seen_backend")
+        if pinned is None:
+            meta["seen_backend"] = backend
+            self._write_meta(meta)
+        elif pinned != backend:
+            raise ValueError(
+                f"checkpoint at {self.root} was written with "
+                f"seen_backend={pinned!r}; resuming with {backend!r} would "
+                f"lose the seen set. Pass seen_backend={pinned!r} (or start "
+                "a fresh checkpoint_dir)."
+            )
+
     def seen_table_ddl(self, n_buckets: int, provider: str = "parquet") -> str:
         """The Iceberg seam, as code: both providers declare the IDENTICAL
         relational schema, and the physical layout maps 1:1 — datasource
@@ -223,23 +258,47 @@ class RoundStore:
         """Create (or re-register after a session change) the bucketed seen
         table. Bucket count and provider are pinned in _store_meta.json on
         first use — they must never change for the life of the store."""
-        meta = {}
-        if os.path.exists(self._meta_path()):
-            with open(self._meta_path()) as f:
-                meta = json.load(f)
+        meta = self._read_meta()
         if "seen_buckets" in meta:
             n_buckets = int(meta["seen_buckets"])
             provider = meta.get("seen_provider", provider)
         else:
             meta["seen_buckets"] = int(n_buckets)
             meta["seen_provider"] = provider
-            tmp = self._meta_path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, self._meta_path())
+            self._write_meta(meta)
         self._seen_buckets = n_buckets
         spark.sql(self.seen_table_ddl(n_buckets, provider))
         return self.seen_table
+
+    def backfill_seen_bucketed(self, spark: SparkSession, upto: int) -> list[int]:
+        """Re-insert any committed round's seen keys missing from the
+        bucketed table, from the seen_delta parquet (written every round
+        regardless of backend). Covers resuming a legacy checkpoint created
+        before the bucketed backend existed — or under seen_backend=
+        'parquet' — where ensure_seen_table just created an EMPTY table:
+        without the backfill the resume would silently lose the entire seen
+        set and re-admit every crawled URL. Idempotent: a committed round's
+        insert completed before its manifest (commit protocol), so presence
+        of ANY row for a round implies all of them. One distinct-scan of the
+        table's long `round` column per resume; returns backfilled rounds."""
+        committed = [
+            r for r in self.committed_rounds()
+            if r <= upto
+            and self.manifest(r).get("counts", {}).get("seen_delta", 1) != 0
+            and os.path.exists(self.round_path(r, "seen_delta"))
+        ]
+        if not committed:
+            return []
+        present = {
+            int(row["round"])
+            for row in spark.table(self.seen_table).select("round").distinct().collect()
+        }
+        missing = [r for r in committed if r not in present]
+        for r in missing:
+            self.append_seen_bucketed(
+                self.read(spark, r, "seen_delta").select("url_sha1"), r
+            )
+        return missing
 
     def append_seen_bucketed(self, keys: DataFrame, rnd: int) -> None:
         """Insert one round's url_sha1 keys. The pre-repartition on the
