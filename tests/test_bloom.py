@@ -163,6 +163,88 @@ def test_bloomtable_one_shard_per_task(spark):
         table.unpersist()
 
 
+def test_bloomtable_merge_delta_bit_exact(spark):
+    """merge_delta(old, delta) must equal a FULL build over old ∪ delta at
+    the same geometry — byte-for-byte, since every bitmap is the OR of its
+    keys' bit patterns regardless of insertion grouping."""
+    a, b = _hashes(3000, "a"), _hashes(1500, "b")
+    df_a = spark.createDataFrame([(k,) for k in a], ["url_sha1"]).repartition(8)
+    df_b = spark.createDataFrame([(k,) for k in b], ["url_sha1"]).repartition(4)
+    table = BloomTable.build(df_a, expected_per_shard=2000, fpp=0.01, shard_bits=3)
+    merged = table.merge_delta(df_b)
+    try:
+        assert merged.capacity_keys == table.capacity_keys
+        assert (merged.shard_bits, merged.m, merged.k) == (
+            table.shard_bits, table.m, table.k
+        )
+        full = ShardedBloom._bitmap_table(
+            df_a.unionByName(df_b), "url_sha1",
+            merged.shard_bits, merged.m, merged.k,
+        )
+        got = {r["shard"]: bytes(r["bitmap"]) for r in merged.bitmaps.collect()}
+        want = {r["shard"]: bytes(r["bitmap"]) for r in full.collect()}
+        assert got == want
+        # and the probe path still has zero false negatives over old ∪ delta
+        maybe, new = merged.split(_cand_df(spark, a + b))
+        assert new.count() == 0
+    finally:
+        merged.unpersist()
+
+
+def test_crawl_builds_bloom_once_then_merges_deltas(spark, fixture_web, tmp_path):
+    """The round loop must never rebuild the bloom from the full seen set:
+    ONE full build when the threshold is crossed, then one merge_delta per
+    committed round whose input is exactly that round's seen_delta."""
+    import webcrawler_spark.plans.crawl as crawl_mod
+    from webcrawler_spark.fixtures import WHITELIST
+    from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    builds: list[int] = []
+    merges: list[int] = []
+    orig_build, orig_merge = BloomTable.build.__func__, BloomTable.merge_delta
+
+    def counting_build(cls, seen, **kw):
+        builds.append(seen.count())
+        return orig_build(cls, seen, **kw)
+
+    def counting_merge(self, delta, **kw):
+        merges.append(delta.count())
+        return orig_merge(self, delta, **kw)
+
+    paths = fixture_web["paths"]
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    cfg = CrawlConfig(whitelist=WHITELIST, max_depth=2, max_rounds=8,
+                      parsers="combined", bloom_min_seen=1)
+    ref_cfg = CrawlConfig(whitelist=WHITELIST, max_depth=2, max_rounds=8,
+                          parsers="combined", use_bloom=False)
+    ref = run_crawl(spark, pages, seeds, ref_cfg,
+                    checkpoint_dir=str(tmp_path / "ref"))
+    want = sorted((r["round"], r["url"]) for r in ref.order(spark).collect())
+
+    try:
+        crawl_mod.BloomTable.build = classmethod(counting_build)
+        crawl_mod.BloomTable.merge_delta = counting_merge
+        res = run_crawl(spark, pages, seeds, cfg,
+                        checkpoint_dir=str(tmp_path / "bloom"))
+    finally:
+        crawl_mod.BloomTable.build = classmethod(orig_build)
+        crawl_mod.BloomTable.merge_delta = orig_merge
+
+    got = sorted((r["round"], r["url"]) for r in res.order(spark).collect())
+    assert got == want  # bloom is an optimization, never a semantic change
+    assert len(builds) == 1, f"full bloom build ran {len(builds)} times"
+    assert builds[0] == res.store.manifest(0)["counts"]["seen_delta"]
+    # merge inputs are exactly the per-round deltas, NOT the growing seen
+    # set: round 0 has no bloom (seen empty), the build at round 1 covers
+    # rounds <= 0, and every later round with a non-empty delta merges it
+    deltas = [
+        res.store.manifest(r)["counts"]["seen_delta"]
+        for r in res.store.committed_rounds()
+    ]
+    assert merges == [d for d in deltas[1:] if d > 0]
+
+
 def test_bloomtable_empty_seen(spark):
     seen = spark.createDataFrame([], "url_sha1 string")
     table = BloomTable.build(seen, expected_per_shard=1000, fpp=0.01)

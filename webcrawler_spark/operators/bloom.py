@@ -16,8 +16,10 @@ Design (scales to 10^10 keys):
   enough to broadcast and filters can be built/updated per partition of a
   seen table bucketed the same way;
 * per-partition build: mapInArrow computes a partial bitmap per input
-  partition (these are the "per-partition delta filters" — each round only
-  the seen-DELTA's partials are rebuilt and OR-ed into the broadcast);
+  partition (these are the "per-partition delta filters" — each crawl round
+  only the seen-DELTA's partials are built and OR-ed into the persisted
+  bitmap table via BloomTable.merge_delta; the full corpus is scanned only
+  at the initial build and at geometric capacity rebuilds);
 * k hash positions derive from the sha1 hex itself (Kirsch-Mitzenmacher:
   pos_i = h1 + i*h2 mod m), vectorized with numpy — no per-row Python.
 """
@@ -119,23 +121,21 @@ class ShardedBloom:
     def build(cls, seen: DataFrame, key_col: str = "url_sha1",
               expected_per_shard: int | None = None, fpp: float = 0.01,
               shard_bits: int | None = None,
-              n_seen: int | None = None, as_table: bool = False):
+              n_seen: int | None = None, as_table: bool = False,
+              headroom: float = 1.0):
         """Build from a seen table, distributed end-to-end:
 
         1. sizing: explicit (expected_per_shard, shard_bits) or derived
-           from n_seen via plan() (counted if neither given);
-        2. when sharded, repartition the keys BY SHARD ID first so each
-           input partition builds bitmaps for (mostly) one shard — without
-           this, every partition would emit a partial for every shard:
-           partitions x shards x m/8 bytes of shuffle at 10^10 scale;
-        3. per-partition partial bitmaps (mapInArrow, numpy-vectorized);
-        4. OR-merge per shard INSIDE the cluster (groupBy(shard) +
-           applyInPandas) — the driver receives exactly one bitmap per
-           shard, never the per-partition partials.
+           from n_seen via plan() (counted if neither given); `headroom`
+           over-sizes by that factor so delta merges (BloomTable.
+           merge_delta) can add keys without an immediate rebuild;
+        2-4. see _bitmap_table (shard-repartitioned partials, cluster-side
+           OR-merge; the driver receives at most one bitmap per shard).
         """
         if expected_per_shard is None or shard_bits is None:
             if n_seen is None:
                 n_seen = seen.count()
+            n_seen = math.ceil(max(1, n_seen) * max(1.0, headroom))
             if shard_bits is None and expected_per_shard is None:
                 shard_bits, expected_per_shard = cls.plan(n_seen, fpp)
             elif shard_bits is None:
@@ -154,8 +154,31 @@ class ShardedBloom:
                 )
         m = cls._optimal_m(expected_per_shard, fpp)
         k = max(1, round(m / max(1, expected_per_shard) * math.log(2)))
-        proto = cls(shard_bits, m, k, {})
 
+        bitmaps = cls._bitmap_table(seen, key_col, shard_bits, m, k)
+        if as_table:
+            return shard_bits, m, k, expected_per_shard, bitmaps
+        shards: dict[int, np.ndarray] = {
+            int(row["shard"]): np.frombuffer(row["bitmap"], dtype=np.uint8)
+            for row in bitmaps.collect()
+        }
+        return cls(shard_bits, m, k, shards)
+
+    @classmethod
+    def _bitmap_table(cls, keys: DataFrame, key_col: str, shard_bits: int,
+                      m: int, k: int, merge: bool = True) -> DataFrame:
+        """(shard, bitmap) table for `keys` at EXACT (shard_bits, m, k) —
+        the low-level builder shared by full builds and delta merges.
+
+        1. repartition the keys BY SHARD ID so each input partition builds
+           bitmaps for (mostly) one shard — without this every partition
+           would emit a partial for every shard: partitions x shards x m/8
+           bytes of shuffle at 10^10 scale;
+        2. per-partition partial bitmaps (mapInArrow, numpy-vectorized);
+        3. when merge=True, OR-merge per shard INSIDE the cluster
+           (groupBy(shard) + applyInPandas) — the driver never sees the
+           per-partition partials."""
+        proto = cls(shard_bits, m, k, {})
         m_bytes = m // 8
         sb = shard_bits
 
@@ -185,30 +208,16 @@ class ShardedBloom:
                      "bitmap": pa.array([bitmap.tobytes()], type=pa.binary())}
                 )
 
-        keyed = seen.select(F.col(key_col).cast("string").alias("_k"))
+        keyed = keys.select(F.col(key_col).cast("string").alias("_k"))
         if sb:
             keyed = keyed.repartition(1 << sb, _shard_expr(F.col("_k"), sb))
 
         partials = keyed.mapInArrow(build_partials, "shard long, bitmap binary")
-
-        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
-            for b in pdf["bitmap"].iloc[1:]:
-                out |= np.frombuffer(b, dtype=np.uint8)
-            return pd.DataFrame(
-                {"shard": [pdf["shard"].iloc[0]], "bitmap": [out.tobytes()]}
-            )
-
-        bitmaps = partials.groupBy("shard").applyInPandas(
-            or_merge, "shard long, bitmap binary"
+        if not merge:
+            return partials
+        return partials.groupBy("shard").applyInPandas(
+            _or_merge, "shard long, bitmap binary"
         )
-        if as_table:
-            return shard_bits, m, k, bitmaps
-        shards: dict[int, np.ndarray] = {
-            int(row["shard"]): np.frombuffer(row["bitmap"], dtype=np.uint8)
-            for row in bitmaps.collect()
-        }
-        return cls(shard_bits, m, k, shards)
 
     @staticmethod
     def _optimal_m(n: int, fpp: float) -> int:
@@ -222,6 +231,15 @@ class ShardedBloom:
         for sid, bm in other.shards.items():
             shards[sid] = (shards[sid] | bm) if sid in shards else bm
         return ShardedBloom(self.shard_bits, self.m, self.k, shards)
+
+
+def _or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+    for b in pdf["bitmap"].iloc[1:]:
+        out |= np.frombuffer(b, dtype=np.uint8)
+    return pd.DataFrame(
+        {"shard": [pdf["shard"].iloc[0]], "bitmap": [out.tobytes()]}
+    )
 
 
 def _shard_expr(key_col, shard_bits: int):
@@ -251,10 +269,14 @@ class BloomTable:
     """
 
     def __init__(self, shard_bits: int, m_bits_per_shard: int, k: int,
-                 bitmaps: DataFrame, persist: bool = True):
+                 bitmaps: DataFrame, persist: bool = True,
+                 capacity_keys: int | None = None):
         self.shard_bits = shard_bits
         self.m = m_bits_per_shard
         self.k = k
+        # keys the (shard_bits, m, k) geometry was sized for at target fpp;
+        # inserting past this degrades fpp — callers rebuild then
+        self.capacity_keys = capacity_keys
         if persist:
             from pyspark.storagelevel import StorageLevel
 
@@ -265,12 +287,45 @@ class BloomTable:
     def build(cls, seen: DataFrame, key_col: str = "url_sha1",
               expected_per_shard: int | None = None, fpp: float = 0.01,
               shard_bits: int | None = None,
-              n_seen: int | None = None) -> "BloomTable":
-        sb, m, k, bitmaps = ShardedBloom.build(
+              n_seen: int | None = None,
+              headroom: float = 1.0) -> "BloomTable":
+        sb, m, k, per_shard, bitmaps = ShardedBloom.build(
             seen, key_col=key_col, expected_per_shard=expected_per_shard,
             fpp=fpp, shard_bits=shard_bits, n_seen=n_seen, as_table=True,
+            headroom=headroom,
         )
-        return cls(sb, m, k, bitmaps)
+        return cls(sb, m, k, bitmaps, capacity_keys=per_shard * (1 << sb))
+
+    def merge_delta(self, delta: DataFrame, key_col: str = "url_sha1") -> "BloomTable":
+        """OR-merge a key DELTA into the bitmaps — the per-round maintenance
+        path. Cost is O(|delta| scan + one shuffle bounded by the FILTER
+        size (2^shard_bits rows x m/8 bytes), independent of n_seen — vs a
+        full rebuild's complete scan + shard-shuffle of all 10^10 seen keys
+        every round. Geometry (shard_bits, m, k) is unchanged, so merged
+        membership == membership in (old ∪ delta) exactly; capacity
+        accounting is the caller's job via capacity_keys.
+
+        The merged table is localCheckpoint()ed: it is state carried across
+        crawl rounds, and without truncation its lineage would chain one
+        union+groupBy per round for the life of the crawl. (On a real
+        cluster, periodically persisting the small bitmap table to reliable
+        storage — it already has a stable (shard, bitmap) schema — bounds
+        recompute-on-executor-loss; the RoundStore checkpoint makes even a
+        full loss a one-time rebuild, never a correctness event.)"""
+        partials = ShardedBloom._bitmap_table(
+            delta, key_col, self.shard_bits, self.m, self.k, merge=False
+        )
+        merged = (
+            self.bitmaps.unionByName(partials)
+            .groupBy("shard")
+            .applyInPandas(_or_merge, "shard long, bitmap binary")
+            .localCheckpoint(eager=True)
+        )
+        self.unpersist()
+        return BloomTable(
+            self.shard_bits, self.m, self.k, merged, persist=False,
+            capacity_keys=self.capacity_keys,
+        )
 
     def unpersist(self) -> None:
         self.bitmaps.unpersist()

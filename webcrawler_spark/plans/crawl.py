@@ -89,6 +89,10 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     bloom_shard_bits: int | None = None  # None = auto-size from n_seen
                                          # (each shard bitmap <= 16 MB)
+    bloom_headroom: float = 4.0          # over-size the bloom by this factor
+    # so per-round maintenance is an OR-merge of the seen DELTA only; the
+    # full build re-runs only when n_seen outgrows the sized capacity —
+    # geometric steps, so amortized O(1) work per key over the crawl life
     politeness_salt_buckets: int | str | None = "auto"  # int = fixed salt,
     # None = plain per-host window, "auto" = salt with defaultParallelism
     # buckets whenever the PREVIOUS round's committed queue (order ∪
@@ -151,7 +155,12 @@ def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
 
 def _items_schema_img(fetched: DataFrame, rnd: int) -> DataFrame:
     """parseImg items (bmParser.go:126-156) + savePicture enrichment
-    (bmProcessor.go:56-61): name, format, size — all native expressions."""
+    (bmProcessor.go:56-61): name, format, size — all native expressions.
+    `payload` carries the actual image bytes: the reference's savePicture
+    persists the file content itself (bmProcessor.go:39-50), so the item
+    sink is self-contained — consumers never re-join pages for the blob.
+    The bytes stay columnar (parquet binary) end-to-end; the ordered
+    export keeps only the metadata columns (artifact size)."""
     ct = F.col("content_type")
     return (
         fetched.filter((F.col("status") == 200) & ct.startswith("image"))
@@ -164,6 +173,7 @@ def _items_schema_img(fetched: DataFrame, rnd: int) -> DataFrame:
             U.image_format(ct).alias("file_ext"),
             F.length("html").cast("long").alias("file_size"),
             F.lit(None).cast(JCUX_SCHEMA).alias("jcux"),
+            F.col("html").alias("payload"),
         )
     )
 
@@ -256,6 +266,12 @@ def run_crawl(
             store.manifest(last).get("stats", {}).get("hot_host_next", False)
         )
 
+    # the bloom lives ACROSS rounds: built once from the full seen set when
+    # the threshold is crossed (or on resume), then maintained per round by
+    # OR-merging only that round's committed seen_delta (BloomTable.
+    # merge_delta) — never rebuilt from the full 10^10-key corpus per round
+    bloom_table = None
+
     while rnd <= cfg.max_rounds:
         # all per-round counts come from observe() metrics captured during
         # the commit writes (see RoundStore.commit_round) — the only full
@@ -268,19 +284,28 @@ def run_crawl(
 
         scratch: list = []
         prefilter = None
-        bloom_table = None
-        if cfg.use_bloom and seen is not None:
-            if n_seen_total >= cfg.bloom_min_seen:
+        if cfg.use_bloom and seen is not None and n_seen_total >= cfg.bloom_min_seen:
+            if (
+                bloom_table is not None
+                and bloom_table.capacity_keys is not None
+                and n_seen_total * 1.2 > bloom_table.capacity_keys
+            ):
+                # seen outgrew the sized capacity (fpp would degrade):
+                # rebuild ONCE at the next headroom step, not every round
+                bloom_table.unpersist()
+                bloom_table = None
+            if bloom_table is None:
                 # bitmaps stay a persisted (shard, bitmap) DataFrame; the
                 # probe cogroups candidates with it so each task holds ONE
                 # <=16 MB shard — no whole-filter broadcast at 10^10 keys
                 bloom_table = BloomTable.build(
                     seen, n_seen=n_seen_total,
                     fpp=cfg.bloom_fpp, shard_bits=cfg.bloom_shard_bits,
+                    headroom=cfg.bloom_headroom,
                 )
-                prefilter = (
-                    lambda d, _bt=bloom_table: _bt.split(d, scratch=scratch)
-                )
+            prefilter = (
+                lambda d, _bt=bloom_table: _bt.split(d, scratch=scratch)
+            )
         admitted = admission.admit(
             candidates, seen_df, cfg.whitelist, cfg.max_depth,
             robots=robots, bloom_prefilter=prefilter, scratch=scratch,
@@ -402,6 +427,7 @@ def run_crawl(
                 F.lit("").alias("file_ext"),
                 F.lit(0).cast("long").alias("file_size"),
                 F.col("p.jcux").alias("jcux"),
+                F.lit(None).cast("binary").alias("payload"),
             )
             items = items_bm.unionByName(items_img)
         else:
@@ -499,10 +525,16 @@ def run_crawl(
             else store.read_all(spark, "seen_delta", upto=rnd)
         )
 
+        # incremental bloom maintenance: fold ONLY this round's committed
+        # delta into the persisted bitmaps (cost ~ |delta| + filter size),
+        # instead of rebuilding from the full seen set next round
+        if bloom_table is not None and n_admitted > 0:
+            bloom_table = bloom_table.merge_delta(
+                store.read(spark, rnd, "seen_delta").select("url_sha1")
+            )
+
         for df in scratch:  # safe: admitted materialized during commit
             df.unpersist()
-        if bloom_table is not None:
-            bloom_table.unpersist()
         admitted.unpersist()
         fetch_now.unpersist()
         fetched.unpersist()
@@ -513,6 +545,8 @@ def run_crawl(
         if n_candidates == 0 and deferred_c == 0 and retry_c == 0:
             break
 
+    if bloom_table is not None:
+        bloom_table.unpersist()
     last = store.last_committed()
     if last is not None:
         export_items(spark, store)
@@ -533,6 +567,10 @@ def export_items(spark: SparkSession, store: RoundStore) -> str | None:
     items = store.read_all(spark, "items")
     if items is None:
         return None
+    # metadata-only artifact: the payload blobs live in the items table
+    # itself; carrying them into the single ordered file would bloat it
+    if "payload" in items.columns:
+        items = items.drop("payload")
     enriched = items.withColumn(
         "file_path",
         F.when(
@@ -581,5 +619,6 @@ def _items_schema() -> T.StructType:
             T.StructField("file_ext", T.StringType()),
             T.StructField("file_size", T.LongType()),
             T.StructField("jcux", JCUX_SCHEMA),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
