@@ -160,6 +160,23 @@ def test_items_and_byte_identical_text(spark, fixture_web, tmp_path):
     }
     assert engine_img == golden_img
 
+    # --- payload bytes: savePicture persists the image content itself
+    # (bmProcessor.go:39-50) — every img item's payload must equal the
+    # fetched page bytes; bm items carry no payload ---
+    payload_rows = (
+        items_df.join(pages_df.select("url", "html"), "url", "left")
+        .select("url", "kind", "payload", "html")
+        .collect()
+    )
+    n_img = 0
+    for r in payload_rows:
+        if r["kind"] == "img":
+            n_img += 1
+            assert bytes(r["payload"]) == bytes(r["html"]), r["url"]
+        else:
+            assert r["payload"] is None
+    assert n_img > 0
+
 
 def test_errors_match(spark, fixture_web, tmp_path):
     golden, result = _run_both(spark, fixture_web, tmp_path, "generic",
