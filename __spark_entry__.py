@@ -831,9 +831,12 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-probe pinned explicitly: the library DEFAULT is multiprobe=1
+    # (exercised by ann_lsh_multiprobe); this contract row keeps the
+    # cheapest-probe variant oracle-checked too
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.topk_lsh(emb, queries, k=5, nbits=8)
+    out = similarity.topk_lsh(emb, queries, k=5, nbits=8, multiprobe_hamming=0)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
@@ -1628,11 +1631,17 @@ FROM w
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two synthetic corpus snapshots derived from documents
-    (old = id%7!=0; new = id%5!=0 with id%11==0 texts revised): one
-    full-outer hash-compare join, changed minority only."""
+    (old = id%7!=0 with id%13==0 texts NULLed; new = id%5!=0 with id%11==0
+    texts revised): one full-outer hash-compare join, changed minority
+    only. The NULLed old texts pin the null-safe compare — a NULL->text
+    transition must surface as 'changed', not vanish."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    old = docs.filter(did % 7 != 0)
+    old = docs.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(did % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
     new = docs.filter(did % 5 != 0).withColumn(
         "text",
         F.when(did % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
@@ -1648,7 +1657,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_snapshot_diff() -> str:
     return """
 WITH old AS (
-  SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 7 != 0
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END) AS old_hash
+  FROM documents WHERE doc_id % 7 != 0
 ), new AS (
   SELECT doc_id,
          md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS new_hash
@@ -1657,7 +1668,7 @@ WITH old AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN old_hash != new_hash THEN 'changed'
+              WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
               ELSE 'unchanged' END AS status
   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 )

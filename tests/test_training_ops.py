@@ -198,6 +198,36 @@ class TestDedup:
         }
         assert got == {i: 0 for i in range(n)}
 
+    def test_duplicate_clusters_pointer_jumping_long_chain(self, spark):
+        # a 100-node chain has diameter 99: plain min-label propagation
+        # would need 99 rounds, pointer jumping reaches 2^max_iters-1 hops
+        # — max_iters=8 (the default) must fully collapse it
+        n = 100
+        docs = spark.createDataFrame(
+            [(i, "") for i in range(n)], "doc_id: long, text: string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1: long, id2: long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(docs, pairs, max_iters=8).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_duplicate_clusters_warns_on_nonconvergence(self, spark):
+        import pytest as _pytest
+
+        n = 64
+        docs = spark.createDataFrame(
+            [(i, "") for i in range(n)], "doc_id: long, text: string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1: long, id2: long"
+        )
+        with _pytest.warns(RuntimeWarning, match="did not converge"):
+            dedup.duplicate_clusters(docs, pairs, max_iters=2).collect()
+
     def test_minhash_identical_docs_collide(self, docs):
         sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(12))
                 for r in dedup.minhash_signatures(docs, k=12).collect()}
@@ -261,27 +291,29 @@ class TestSimilarity:
 
     def test_lsh_bucket_recall(self, vectors):
         q = vectors.filter(F.col("vec_id") == 0)
-        out = similarity.topk_lsh(vectors, q, k=4, nbits=4)
+        out = similarity.topk_lsh(vectors, q, k=4, nbits=4,
+                                  multiprobe_hamming=0)
         ids = {r["neighbor_id"] for r in out.collect()}
         # 4 (negative first component) lands in another bucket; 1 and 3 share
         assert 1 in ids and 3 in ids and 4 not in ids
 
     def test_lsh_multiprobe_fixes_boundary_miss(self, vectors):
         """vec 4 ([-1,0,0,0]) is one sign flip (bit 0) from vec 0's bucket:
-        invisible to single-probe, found by Hamming-1 multiprobe."""
+        invisible to single-probe, found by Hamming-1 multiprobe — which is
+        the DEFAULT (the recall cliff must be opt-in, not opt-out)."""
         q = vectors.filter(F.col("vec_id") == 0)
         single = {
             r["neighbor_id"]
-            for r in similarity.topk_lsh(vectors, q, k=4, nbits=4).collect()
-        }
-        multi = {
-            r["neighbor_id"]
             for r in similarity.topk_lsh(
-                vectors, q, k=4, nbits=4, multiprobe_hamming=1
+                vectors, q, k=4, nbits=4, multiprobe_hamming=0
             ).collect()
         }
-        assert 4 not in single and 4 in multi
-        assert single <= multi
+        default = {
+            r["neighbor_id"]
+            for r in similarity.topk_lsh(vectors, q, k=4, nbits=4).collect()
+        }
+        assert 4 not in single and 4 in default
+        assert single <= default
 
     def test_lsh_multiprobe_recall_measured(self, spark):
         """Recall@5 vs brute force on a deterministic random corpus:
@@ -304,10 +336,10 @@ class TestSimilarity:
             return by_q
 
         truth = topk_sets(similarity.topk_bruteforce(df, q, k=5))
-        single = topk_sets(similarity.topk_lsh(df, q, k=5, nbits=8))
-        multi = topk_sets(
-            similarity.topk_lsh(df, q, k=5, nbits=8, multiprobe_hamming=1)
+        single = topk_sets(
+            similarity.topk_lsh(df, q, k=5, nbits=8, multiprobe_hamming=0)
         )
+        multi = topk_sets(similarity.topk_lsh(df, q, k=5, nbits=8))
 
         def recall(got):
             return sum(

@@ -208,10 +208,23 @@ def _jaccard_pairs_capped(
     posting = F.struct(
         *[F.col(c).alias(f"_b_{c}") for c in extra], F.col(id_col).alias("_id")
     )
-    grouped = (
+    # Hot shingles are pruned BEFORE the postings lists are collected: a
+    # post-hoc filter(size(_xs) <= cap) bounds the pair fan-out but not
+    # executor memory — a boilerplate shingle shared by 10^6 docs would
+    # still build a 10^6-element collect_list buffer in one group. The
+    # count aggregate's buffer is one long (map-side combined, tiny
+    # shuffle); the semi-join shares the postings groupBy's hash
+    # partitioning on `shingle`, so no extra exchange on the heavy side.
+    ok_shingles = (
         ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    grouped = (
+        ex.join(ok_shingles, on="shingle", how="left_semi")
+        .groupBy("shingle")
         .agg(F.collect_list(posting).alias("_xs"))
-        .filter(F.size("_xs") <= max_shingle_df)
     )
 
     def _pairs_with(a):
@@ -589,17 +602,25 @@ def duplicate_clusters(
       of the corpus); the untouched majority is appended once at the end
       with cluster_id = own id — no per-iteration work scales with corpus
       size, only with duplicate count;
-    * one join + one min-aggregate per round, labels localCheckpoint()ed
-      each round so the plan/lineage stays O(1) instead of growing per
-      iteration (swap for checkpoint(dir) on a real cluster);
-    * converges in O(component diameter) rounds — near-dup components are
-      shallow (mostly cliques from shared band buckets); ``max_iters``
-      bounds the loop, and the convergence probe (any label changed?) is
-      one aggregate per round.
+    * one edge join + one min-aggregate per round, plus a pointer-jumping
+      compression join (label <- previous label OF the label — valid
+      because every label is itself a touched node's id), so rounds scale
+      with log(diameter) instead of diameter: a chain-shaped component of
+      length 2^max_iters still resolves, where plain propagation would
+      silently split it;
+    * labels localCheckpoint()ed each round so the plan/lineage stays O(1)
+      instead of growing per iteration (swap for checkpoint(dir) on a real
+      cluster);
+    * the convergence probe reads a _chg flag computed INSIDE the label
+      round (no extra join) and runs only every 2nd round — at 10^10 docs
+      a per-round count job is real money;
+    * if the loop exhausts max_iters without converging, a warning is
+      raised (never a silent component split).
 
-    Deterministic: min-label is order-free, so any engine agrees; the
-    DuckDB twin unrolls the same iteration max_iters times (a fixpoint is
-    stable under extra iterations, so early convergence still matches).
+    Deterministic: min-label is order-free and compression preserves the
+    same fixpoint (the component min), so any engine agrees; the DuckDB
+    twin unrolls plain propagation max_iters times (a fixpoint is stable
+    under extra iterations, so faster convergence still matches).
     """
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
@@ -610,33 +631,57 @@ def duplicate_clusters(
     labels = touched.withColumn("label", F.col("node")).localCheckpoint()
     edges = edges.localCheckpoint()
 
-    for _ in range(max_iters):
+    changed = 0
+    for it in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
             .select(F.col("src").alias("node"), "_nl")
         )
+        stepped = labels.join(neigh, on="node", how="left").select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping against the (checkpointed) previous labels:
+        # label <- min(label, previous_label[label])
+        parents = labels.select(
+            F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(neigh, on="node", how="left")
+            stepped.join(parents, stepped["label"] == parents["_pnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("_plabel"), F.col("label")),
+                    )
+                    != F.col("_old")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("node", F.col("label").alias("_old")), on="node")
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
+        labels = new_labels.select("node", "label")
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = new_labels.filter(F.col("_chg")).limit(1).count()
+            if changed == 0:
+                break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters did not converge within max_iters="
+            f"{max_iters}; some components may be split across cluster_ids",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = new_labels
-        if changed == 0:
-            break
 
     rest = (
         df.select(F.col(id_col).alias("node"))

@@ -39,7 +39,13 @@ from pyspark.sql.window import Window
 from webcrawler_spark.operators.sampling import hash_bucket
 from webcrawler_spark.operators.textstats import token_count
 
-PACKS_PER_SHARD = 1_000_000  # pack_id = shard * PACKS_PER_SHARD + pack_local
+# pack_id = shard * PACKS_PER_SHARD + pack_local. The multiplier bounds
+# packs PER SHARD, not per corpus: at the documented 10^12-token scale a
+# shard can easily exceed 10^6 packs, and an overflow would silently
+# collide with the next shard's id range. 2^44 packs/shard x a 2048-token
+# budget ≈ 3.6x10^16 tokens per shard before overflow, while shard ids up
+# to 2^19 still fit the positive long range (2^19 * 2^44 < 2^63).
+PACKS_PER_SHARD = 1 << 44
 
 
 def pack_sequences(

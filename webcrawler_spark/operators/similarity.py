@@ -322,7 +322,7 @@ def topk_lsh(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe_hamming: int = 0,
+    multiprobe_hamming: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: rank only candidates in the query's sign bucket(s).
 
@@ -330,16 +330,17 @@ def topk_lsh(
     a hash-partitioned join on ``bucket`` (skewed buckets split by AQE),
     with the same deterministic ranking as the exact path.
 
-    multiprobe_hamming=1 probes every bucket at Hamming distance <= 1 from
-    the query's own (an nbits+1-row explode of the TINY query side — the
-    corpus is untouched): a vector whose first components sit near a
-    hyperplane lands one sign flip away, which is exactly the recall cliff
-    single-bucket LSH has. Candidates per query grow ~(nbits+1)x, still
-    nothing like the cross join; a corpus vector lives in ONE bucket and
-    the probe buckets are distinct, so no (query, neighbor) pair
-    duplicates. The candidate superset can only improve top-k recall
-    (any item displacing a true-top-k hit is itself a true-top-k hit) —
-    measured in tests/test_training_ops.py.
+    multiprobe_hamming=1 (the DEFAULT) probes every bucket at Hamming
+    distance <= 1 from the query's own (an nbits+1-row explode of the TINY
+    query side — the corpus is untouched): a vector whose first components
+    sit near a hyperplane lands one sign flip away, which is exactly the
+    recall cliff single-bucket LSH has — the default must not ship the
+    cliff. Candidates per query grow ~(nbits+1)x, still nothing like the
+    cross join; a corpus vector lives in ONE bucket and the probe buckets
+    are distinct, so no (query, neighbor) pair duplicates. The candidate
+    superset can only improve top-k recall (any item displacing a true
+    top-k hit is itself a true top-k hit) — asserted against brute force
+    in tests/test_training_ops.py. Pass 0 to opt out (cheapest probe).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -37,10 +37,13 @@ def snapshot_diff(
         F.col(id_col).alias("_nid"), F.md5(F.col(text_col)).alias("new_hash")
     )
     j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    # null-SAFE hash compare: md5(NULL text) is NULL, and a NULL<->text
+    # transition must surface as 'changed' — plain != would yield NULL and
+    # fall through to 'unchanged', silently dropping the row from the CDC
     status = (
         F.when(F.col("_oid").isNull(), F.lit("added"))
         .when(F.col("_nid").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .when(~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
