@@ -189,6 +189,81 @@ def test_allow_rules_e2e_engine_matches_simulator(spark, fixture_web, tmp_path):
     assert engine_order == golden.order
 
 
+BODY_WILDCARD = """User-agent: *
+Disallow: /*.php$
+Disallow: /fish*.cgi
+Allow: /fish/deep*.cgi
+Disallow: /tmp*/
+"""
+
+
+def _decide_body(spark, body, paths):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import admission
+
+    robots = parse_robots(
+        spark.createDataFrame([("www.example.com", body)],
+                              "host: string, body: string")
+    )
+    cand = spark.createDataFrame(
+        [(f"http://www.example.com{p}", "www.example.com", p) for p in paths],
+        "url: string, host: string, path: string",
+    ).withColumn("depth", F.lit(0).cast("long"))
+    out = admission.admission_filters(cand, ["example.com"], 3, robots=robots)
+    return {r["path"] for r in out.collect()}
+
+
+def test_wildcard_star_and_anchor(spark):
+    """RFC 9309 §2.2.3 / the protocol's own example table: * bridges any
+    sequence, trailing $ anchors to the end of the path."""
+    got = _decide_body(spark, BODY_WILDCARD, [
+        "/filename.php",        # blocked: /*.php$ (anchored hit)
+        "/folder/file.php",     # blocked: anchored hit deeper
+        "/filename.php.html",   # allowed: .php not at the END
+        "/filename.phpx",       # allowed: does not end with .php
+        "/fish.cgi",            # blocked: /fish*.cgi ('' bridge)
+        "/fishheads/catfish.cgi",  # blocked: /fish*.cgi
+        "/fishheads/catfish.cgi2",  # blocked: unanchored extends past match
+        "/fish/deepsea.cgi",    # ALLOWED: longer Allow /fish/deep*.cgi wins
+        "/tmpfoo/bar",          # blocked: /tmp*/
+        "/tmpx",                # allowed: no '/' after /tmp
+        "/ok.html",             # allowed: nothing matches
+    ])
+    assert got == {
+        "/filename.php.html", "/filename.phpx", "/fish/deepsea.cgi",
+        "/tmpx", "/ok.html",
+    }
+
+
+def test_wildcard_pattern_compilation(spark):
+    """Segment compilation: runs of * collapse, trailing * on unanchored
+    patterns strips, $ only anchors at the end."""
+    body = """User-agent: *
+Disallow: /a**b*
+Disallow: /c*$
+Disallow: /d$e/
+"""
+    row = parse_robots(
+        spark.createDataFrame([("h", body)], "host: string, body: string")
+    ).collect()[0]
+    rules = {r["prefix"]: (list(r["segments"]), r["anchored"])
+             for r in row["rules"]}
+    assert rules["/a**b*"] == (["/a", "b"], False)   # collapse + strip
+    assert rules["/c*$"] == (["/c", ""], True)       # trailing * kept (anchor)
+    assert rules["/d$e/"] == (["/d$e/"], False)      # inner $ is literal
+    # wildcard patterns are excluded from the legacy plain-prefix view
+    assert list(row["disallow_prefixes"]) == ["/d$e/"]
+
+
+def test_wildcard_exact_dollar_only(spark):
+    body = """User-agent: *
+Disallow: /exact$
+"""
+    got = _decide_body(spark, body, ["/exact", "/exact/", "/exactly"])
+    assert got == {"/exact/", "/exactly"}
+
+
 def test_feeds_admission_filter(spark):
     """Parsed output plugs straight into admission_filters' robots arg."""
     from pyspark.sql import functions as F

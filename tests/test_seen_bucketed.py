@@ -94,6 +94,82 @@ def test_one_file_per_bucket_per_insert(spark, store):
     assert len(files) <= 8
 
 
+def test_compaction_bounds_files_preserves_plan_and_data(spark, store):
+    """After N rounds of appends the table holds N files/bucket; compaction
+    must rewrite to one file per bucket, keep exactly the committed keys
+    (dropping crash-orphan rounds > upto), keep the anti-join seen side
+    exchange-free, and accept further appends."""
+    store.ensure_seen_table(spark, n_buckets=8)
+    for r in range(6):
+        store.append_seen_bucketed(_keys(spark, r * 1000, (r + 1) * 1000), rnd=r)
+    # crashed attempt of round 6: insert done, manifest never written
+    store.append_seen_bucketed(_keys(spark, 6000, 7000), rnd=6)
+    want = {r["url_sha1"] for r in store.read_seen_bucketed(spark, upto=5).collect()}
+    assert store.seen_files_per_bucket() >= 6
+
+    store.compact_seen_bucketed(spark, upto=5)
+
+    assert store.seen_files_per_bucket() <= 1
+    got = {r["url_sha1"] for r in store.read_seen_bucketed(spark, upto=5).collect()}
+    assert got == want
+    # orphan round-6 rows were dropped by the rewrite; the redo re-inserts
+    assert store.read_seen_bucketed(spark, upto=6).count() == 6000
+    store.append_seen_bucketed(_keys(spark, 6000, 7000), rnd=6)
+    assert store.read_seen_bucketed(spark, upto=6).count() == 7000
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = _keys(spark, 5000, 9000).withColumn("depth", F.lit(1))
+        out = anti_join_seen(cand, store.read_seen_bucketed(spark, upto=6))
+        assert out.count() == 2000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange hashpartitioning\(url_sha1", plan)
+        assert len(exchanges) == 1, f"seen side re-shuffled:\n{plan}"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # a fresh store object (new session analog) registers the NEW location
+    s2 = RoundStore(store.root)
+    s2.ensure_seen_table(spark, n_buckets=8)
+    assert s2.read_seen_bucketed(spark, upto=6).count() == 7000
+    # compaction is repeatable (version advances again)
+    s2.compact_seen_bucketed(spark, upto=6)
+    assert s2.read_seen_bucketed(spark, upto=6).count() == 7000
+    assert s2.seen_files_per_bucket() <= 1
+
+
+def test_crawl_with_aggressive_compaction_matches(spark, fixture_web, tmp_path):
+    """Compacting after (almost) every round must not change crawl
+    semantics: identical order + seen set vs the parquet backend, and the
+    store ends compacted."""
+    from webcrawler_spark.fixtures import WHITELIST
+    from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    paths = fixture_web["paths"]
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+
+    def run(backend: str, compact):
+        cfg = CrawlConfig(
+            whitelist=WHITELIST, max_depth=2, max_rounds=5,
+            seen_backend=backend, seen_compact_files_per_bucket=compact,
+        )
+        res = run_crawl(
+            spark, pages, seeds, cfg,
+            checkpoint_dir=str(tmp_path / f"ckpt_{backend}_{compact}"),
+        )
+        order = sorted((r["round"], r["url"]) for r in res.order(spark).collect())
+        seen = sorted(r["url_sha1"] for r in res.seen(spark).collect())
+        return order, seen, res
+
+    o1, s1, res = run("bucketed", 1)
+    o2, s2, _ = run("parquet", None)
+    assert (o1, s1) == (o2, s2)
+    assert res.store.seen_files_per_bucket() <= 2  # compacted near the end
+
+
 def _iceberg_available(spark) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")

@@ -112,6 +112,48 @@ def canonicalize_candidates(cand: DataFrame) -> DataFrame:
     )
 
 
+def rule_matches(path, r) -> "F.Column":
+    """Native RFC 9309 §2.2.3 pattern match of a compiled robots rule
+    (segments array from splitting the pattern on ``*``, anchored flag for
+    a trailing ``$``) against a path column.
+
+    Semantics: the pattern matches FROM THE START of the path; each ``*``
+    bridges to the leftmost later occurrence of the next segment (leftmost
+    is complete here: if any bridging assignment matches, the greedy-left
+    one does); ``anchored`` additionally requires the final segment to end
+    exactly at the end of the path. No regex — startswith/endswith plus an
+    aggregate of locate() calls over the (tiny, pre-compiled) segment
+    array, all inside codegen."""
+    segs, anchored = r["segments"], r["anchored"]
+    n = F.size(segs)
+    s0 = F.element_at(segs, 1)
+    # middle segments: everything after the first, minus the last when
+    # anchored (the last is pinned to the end separately)
+    mid = F.slice(segs, 2, F.when(anchored, F.greatest(n - 2, F.lit(0)))
+                  .otherwise(n - 1))
+    init = (F.length(s0) + 1).cast("int")
+
+    def step(acc, s):
+        found = F.call_function("locate", s, path, acc)
+        return (
+            F.when(acc <= 0, F.lit(0))
+            .when(found == 0, F.lit(0))
+            .otherwise((found + F.length(s)).cast("int"))
+        )
+
+    pos_after = F.aggregate(mid, init, step)
+    last = F.element_at(segs, n)
+    tail_ok = (
+        F.when(~anchored, F.lit(True))
+        .when(n == 1, F.length(path) == F.length(s0))
+        .otherwise(
+            path.endswith(last)
+            & (F.length(path) - F.length(last) + 1 >= pos_after)
+        )
+    )
+    return path.startswith(s0) & (pos_after > 0) & tail_ok
+
+
 def admission_filters(
     cand: DataFrame,
     whitelist: list[str],
@@ -129,26 +171,41 @@ def admission_filters(
 
     if robots is not None:
         # robots: tiny dim table, broadcast. Preferred shape is
-        # (host, rules array<struct<prefix, allow>>); a plain
-        # (host, disallow_prefixes array<string>) is promoted to
-        # all-disallow rules. Decision per candidate = RFC 9309 §2.2.2
-        # longest-prefix-match: among matching rules the LONGEST prefix
+        # (host, rules array<struct<prefix, allow, segments, anchored>>)
+        # from sources.robots.parse_robots (wildcard patterns pre-compiled
+        # to segment arrays); plain (host, disallow_prefixes) or legacy
+        # (prefix, allow)-only rules are promoted to single-segment
+        # unanchored rules, for which the matcher degenerates to the old
+        # startswith. Decision per candidate = RFC 9309 §2.2.2
+        # most-specific-match: among matching rules the LONGEST PATTERN
         # wins; an equal-length allow/disallow tie resolves to allow; no
         # matching rule (or no robots row) = allowed. All native: filter +
         # transform + array_max over (len, allow) structs — struct
         # comparison gives exactly the (longest, then allow-wins) order.
+        def _promote(prefix_col, allow_col):
+            return F.struct(
+                prefix_col.alias("prefix"),
+                allow_col.alias("allow"),
+                F.array(prefix_col).alias("segments"),
+                F.lit(False).alias("anchored"),
+            )
+
         if "rules" in robots.columns:
-            rules_col = F.col("rules")
+            elem = robots.schema["rules"].dataType.elementType
+            if "segments" in elem.names:
+                rules_col = F.col("rules")
+            else:
+                rules_col = F.transform(
+                    F.col("rules"), lambda r: _promote(r["prefix"], r["allow"])
+                )
         else:
             rules_col = F.transform(
                 F.col("disallow_prefixes"),
-                lambda p: F.struct(
-                    p.alias("prefix"), F.lit(False).alias("allow")
-                ),
+                lambda p: _promote(p, F.lit(False)),
             )
         matched = F.filter(
             F.col("_r_rules"),
-            lambda r: F.col("path").startswith(r["prefix"]),
+            lambda r: rule_matches(F.col("path"), r),
         )
         best = F.array_max(
             F.transform(

@@ -111,6 +111,12 @@ class CrawlConfig:
     # union (re-shuffles the seen side every round; small crawls only).
     seen_buckets: int | None = None      # bucket count, pinned at store
     # creation (None = defaultParallelism); pick ~fleet-cores at 10^10
+    seen_compact_files_per_bucket: int | None = 16  # compact the bucketed
+    # seen table (one-file-per-bucket rewrite, committed rounds only) when
+    # the per-round inserts have stacked more than this many files per
+    # bucket; None disables. The trigger probe is a directory listing, the
+    # rewrite one bucket-preserving shuffle of the table — amortized over
+    # the threshold's worth of rounds
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -519,6 +525,12 @@ def run_crawl(
         result.metrics.append(stats)
 
         candidates = store.read(spark, rnd, "next_candidates")
+        if (
+            bucketed
+            and cfg.seen_compact_files_per_bucket
+            and store.seen_files_per_bucket() > cfg.seen_compact_files_per_bucket
+        ):
+            store.compact_seen_bucketed(spark, upto=rnd)
         seen = (
             store.read_seen_bucketed(spark, upto=rnd)
             if bucketed

@@ -10,10 +10,16 @@ Grammar follows the public Robots Exclusion Protocol (RFC 9309 subset):
 * we honor the ``*`` user-agent groups' ``Disallow`` AND ``Allow``
   prefixes (an empty value means no rule and contributes nothing);
 * decision semantics (enforced by ``admission.admission_filters``):
-  RFC 9309 §2.2.2 longest-prefix-match — among all rules whose prefix
-  matches the candidate path, the LONGEST wins; an allow/disallow tie at
-  equal length resolves to allow. Wildcards (`*`, `$`) are out of scope
-  (documented subset).
+  RFC 9309 §2.2.2 most-specific-match — among all rules matching the
+  candidate path, the one with the LONGEST pattern wins; an allow/disallow
+  tie at equal length resolves to allow;
+* wildcards per RFC 9309 §2.2.3: ``*`` matches any character sequence,
+  ``$`` at the END of a pattern anchors the match to the end of the path
+  (elsewhere ``$`` is literal). Each rule is compiled ONCE at parse time
+  into (segments array<string>, anchored boolean) — split on ``*`` after
+  collapsing runs and stripping a no-op trailing ``*`` — so the per-
+  candidate match in admission stays native (startswith + an aggregate of
+  locate() calls), never regex on the hot path.
 
 Everything is native DataFrame algebra: split/posexplode for lines, two
 window passes over (host, line position) to assign each rule line to its
@@ -87,12 +93,38 @@ def parse_robots(
         )
         .distinct()
     )
+    rules = rules.select("host", "prefix", "allow", *compiled_rule_cols())
     return rules.groupBy("host").agg(
-        # collect_list skips NULLs -> disallow-only view
+        # collect_list skips NULLs -> disallow-only view (plain prefixes
+        # only: a wildcard pattern is not a usable prefix)
         F.array_sort(
-            F.collect_list(F.when(~F.col("allow"), F.col("prefix")))
+            F.collect_list(
+                F.when(~F.col("allow") & ~F.col("anchored")
+                       & (F.size("segments") == 1), F.col("prefix"))
+            )
         ).alias("disallow_prefixes"),
         F.array_sort(
-            F.collect_list(F.struct("prefix", "allow"))
+            F.collect_list(F.struct("prefix", "allow", "segments", "anchored"))
         ).alias("rules"),
     )
+
+
+def compiled_rule_cols(pattern_col: str = "prefix") -> list:
+    """Compile a raw rule pattern into the match machinery the admission
+    filter consumes: ``anchored`` (pattern ends with ``$``) and
+    ``segments`` (pattern body split on ``*``). Runs of ``*`` collapse to
+    one; a trailing ``*`` on an UNanchored pattern is a no-op (prefix
+    matching already extends past the match) and is stripped so no middle
+    segment is ever empty. Regex is fine HERE: rules are a tiny broadcast
+    dim table compiled once — candidates never touch a regex."""
+    pat = F.col(pattern_col)
+    anchored = pat.endswith("$")
+    body = F.when(
+        anchored, F.expr(f"substring({pattern_col}, 1, length({pattern_col}) - 1)")
+    ).otherwise(pat)
+    body = F.regexp_replace(body, r"\*+", "*")
+    body = F.when(anchored, body).otherwise(F.regexp_replace(body, r"\*$", ""))
+    return [
+        F.split(body, r"\*", -1).alias("segments"),
+        anchored.alias("anchored"),
+    ]

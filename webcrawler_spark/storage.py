@@ -188,8 +188,20 @@ class RoundStore:
         tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:12]
         return f"seen_bucketed_{tag}"
 
-    def _seen_location(self) -> str:
+    def _seen_base(self) -> str:
         return os.path.join(os.path.abspath(self.root), "seen_bucketed")
+
+    def _seen_location(self, version: int | None = None) -> str:
+        """Current (or explicit) data directory of the seen table. The
+        directory is VERSIONED so compaction can rewrite into a fresh
+        location and commit by atomically advancing `seen_location_v` in
+        _store_meta.json — a crash mid-compaction leaves either the old
+        pointer (new dir is an orphan, cleaned on the next attempt) or the
+        new one (old dir is garbage, cleaned opportunistically)."""
+        if version is None:
+            version = int(self._read_meta().get("seen_location_v", 0))
+        base = self._seen_base()
+        return base if version == 0 else f"{base}_v{version}"
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_store_meta.json")
@@ -229,27 +241,31 @@ class RoundStore:
                 "a fresh checkpoint_dir)."
             )
 
-    def seen_table_ddl(self, n_buckets: int, provider: str = "parquet") -> str:
+    def seen_table_ddl(self, n_buckets: int, provider: str = "parquet",
+                       table: str | None = None,
+                       location: str | None = None) -> str:
         """The Iceberg seam, as code: both providers declare the IDENTICAL
         relational schema, and the physical layout maps 1:1 — datasource
         `CLUSTERED BY (url_sha1) INTO N BUCKETS` is Iceberg's
         `bucket(N, url_sha1)` partition transform. Swapping providers is
         this DDL plus a catalog config; every reader/writer in this class
         goes through the table name, not the layout."""
+        table = table or self.seen_table
+        location = location or self._seen_location()
         if provider == "parquet":
             return (
-                f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
+                f"CREATE TABLE IF NOT EXISTS {table} "
                 f"({self.SEEN_TABLE_SCHEMA}) USING PARQUET "
                 f"CLUSTERED BY (url_sha1) SORTED BY (url_sha1) "
                 f"INTO {n_buckets} BUCKETS "
-                f"LOCATION '{self._seen_location()}'"
+                f"LOCATION '{location}'"
             )
         if provider == "iceberg":
             return (
-                f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
+                f"CREATE TABLE IF NOT EXISTS {table} "
                 f"({self.SEEN_TABLE_SCHEMA}) USING iceberg "
                 f"PARTITIONED BY (bucket({n_buckets}, url_sha1)) "
-                f"LOCATION '{self._seen_location()}'"
+                f"LOCATION '{location}'"
             )
         raise ValueError(f"unknown seen-table provider {provider!r}")
 
@@ -267,8 +283,78 @@ class RoundStore:
             meta["seen_provider"] = provider
             self._write_meta(meta)
         self._seen_buckets = n_buckets
+        self._clean_stale_seen_dirs()
         spark.sql(self.seen_table_ddl(n_buckets, provider))
         return self.seen_table
+
+    def _clean_stale_seen_dirs(self) -> None:
+        """Remove seen-table directories whose version is not the committed
+        one: older versions are garbage from completed compactions, newer
+        ones are orphans of compactions that crashed before advancing the
+        meta pointer. Both are store-owned paths under <root>/."""
+        import glob as _glob
+        import re as _re
+
+        cur = self._seen_location()
+        for d in _glob.glob(self._seen_base() + "*"):
+            if d == cur:
+                continue
+            if _re.fullmatch(_re.escape(self._seen_base()) + r"(_v\d+)?", d):
+                shutil.rmtree(d, ignore_errors=True)
+
+    def seen_files_per_bucket(self) -> float:
+        """Data files per bucket in the current seen location — each
+        append_seen_bucketed adds one file per bucket, so this grows one
+        per committed round until compaction rewrites it. A local listing
+        (one LIST call on an object store); no Spark job."""
+        import glob as _glob
+
+        n = getattr(self, "_seen_buckets", None) or int(
+            self._read_meta().get("seen_buckets", 1) or 1
+        )
+        files = _glob.glob(os.path.join(self._seen_location(), "part-*"))
+        return len(files) / max(1, n)
+
+    def compact_seen_bucketed(self, spark: SparkSession, upto: int) -> str:
+        """Bucket-preserving compaction: rewrite the seen table into a
+        fresh versioned location with ONE file per bucket and one row per
+        key (min round), keeping only committed rounds (<= upto) so
+        crash-orphan rows are dropped, then commit by atomically advancing
+        the location pointer in _store_meta.json. Equivalent to Iceberg's
+        rewrite_data_files on the bucket(N, url_sha1) layout. The rewrite
+        is one hash-shuffle of the table on url_sha1 (the groupBy reuses
+        the repartition's partitioning, and each task writes exactly its
+        bucket), run only when files/bucket exceeds the caller's threshold
+        — without it, scan planning degrades as one file per bucket per
+        round accumulates over thousands of rounds."""
+        from pyspark.sql import functions as F
+
+        meta = self._read_meta()
+        n = int(meta["seen_buckets"])
+        provider = meta.get("seen_provider", "parquet")
+        v = int(meta.get("seen_location_v", 0))
+        new_v, new_loc = v + 1, self._seen_location(v + 1)
+        staging = f"{self.seen_table}_v{new_v}"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        shutil.rmtree(new_loc, ignore_errors=True)  # crashed prior attempt
+        spark.sql(self.seen_table_ddl(n, provider, table=staging, location=new_loc))
+        (
+            spark.table(self.seen_table)
+            .filter(F.col("round") <= F.lit(upto))
+            .repartition(n, "url_sha1")
+            .groupBy("url_sha1")
+            .agg(F.min("round").alias("round"))
+            .write.mode("append")
+            .insertInto(staging)
+        )
+        meta["seen_location_v"] = new_v
+        self._write_meta(meta)  # atomic commit point
+        # re-point the live name (tables are EXTERNAL: drops keep the data)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spark.sql(f"DROP TABLE IF EXISTS {self.seen_table}")
+        spark.sql(self.seen_table_ddl(n, provider, location=new_loc))
+        shutil.rmtree(self._seen_location(v), ignore_errors=True)
+        return new_loc
 
     def backfill_seen_bucketed(self, spark: SparkSession, upto: int) -> list[int]:
         """Re-insert any committed round's seen keys missing from the
