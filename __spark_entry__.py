@@ -1836,6 +1836,27 @@ FROM h GROUP BY event_type, bucket
 """
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability claim, hash-checked: registers built over two
+    DISJOINT event snapshots (user_id % 3 split) and max-merged must be
+    INTEGER-IDENTICAL to registers built over the whole table — so the
+    oracle is the plain full-table register SQL. This is exactly how
+    day-N crawl snapshots fold into a running distinct-URL sketch without
+    ever rescanning history."""
+    ev = _t(spark, sf_dir, "events")
+    a = sketches.hll_registers(
+        ev.filter(F.col("user_id") % 3 == 0), "user_id", group_cols=["event_type"]
+    )
+    b = sketches.hll_registers(
+        ev.filter(F.col("user_id") % 3 != 0), "user_id", group_cols=["event_type"]
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rho").cast("long").alias("max_rho"))
+    )
+
+
 _HH_THRESHOLD = 300
 
 
@@ -1990,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "warc_parse": q_warc_parse,
         "hll_registers": q_hll_registers,
+        "hll_merge": q_hll_merge,
         "heavy_hitters": q_heavy_hitters,
         "asof_join": q_asof_join,
         "multimodal_meta": q_multimodal_meta,
@@ -2138,6 +2160,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "warc_parse": _sql_warc_parse(),
         "hll_registers": _sql_hll_registers(),
+        # merge == rebuild for a max-register sketch: the merged-snapshot
+        # Spark plan must hash-match the WHOLE-table register SQL
+        "hll_merge": _sql_hll_registers(),
         "heavy_hitters": _sql_heavy_hitters(),
         "asof_join": _sql_asof_join(),
         "multimodal_meta": _SQL_META,

@@ -132,8 +132,12 @@ def main() -> None:
         "stream_dedup_counts",
         "multimodal_real_meta",
     ]
+    # round-4 additions
+    suite_r4 = [
+        "hll_merge",
+    ]
     qs = entrymod.queries()
-    for name in suite + suite_r3:
+    for name in suite + suite_r3 + suite_r4:
         # best of 2: the first execution of a unique plan pays 2-5s of JVM
         # codegen/JIT that amortizes away at scale (and in any long-lived
         # session); the steady-state number is the honest per-query cost

@@ -78,6 +78,7 @@ def synth_seen(spark: SparkSession, n: int, partitions: int) -> DataFrame:
 def run_frontier_workload(
     spark: SparkSession, n: int = 1_000_000, partitions: int | None = None,
     max_depth: int = 4, budget: int = 50, workdir: str | None = None,
+    dedup_winner: str = "packed_string",
 ) -> dict:
     """One full admission+politeness round over N synthetic frontier URLs.
 
@@ -123,7 +124,8 @@ def run_frontier_workload(
         seen = spark.read.parquet(seen_path)
         scratch: list = []
         admitted = admission.admit(
-            cand, seen, WHITELIST, max_depth=max_depth, scratch=scratch
+            cand, seen, WHITELIST, max_depth=max_depth, scratch=scratch,
+            dedup_winner=dedup_winner,
         )
         r = ranked(admitted).join(
             F.broadcast(budgets.select(F.col("host").alias("_b_host"),

@@ -256,11 +256,20 @@ def admission_filters(
     return out
 
 
-def dedup_in_round(cand: DataFrame) -> DataFrame:
+def dedup_in_round(cand: DataFrame, winner: str = "packed_string") -> DataFrame:
     """Two candidates for one URL in one round -> exactly one admitted
     (the test-and-set race at scheduler.go:551-574), with a deterministic
     winner: min (depth, parent_url, link_pos). Aggregation, not
-    dropDuplicates — task order must not pick the winner."""
+    dropDuplicates — task order must not pick the winner.
+
+    winner="numeric" switches to the HashAggregate variant (see
+    _dedup_in_round_numeric): same admitted URL set, winner metadata
+    ordered by (depth, xxhash64(parent), link_pos) instead of the
+    lexicographic parent — deterministic, but a different (and 2^-64
+    collision-tolerant) tie-break. Kept off the default path so the
+    contract queries pin the reference-faithful ordering."""
+    if winner == "numeric":
+        return _dedup_in_round_numeric(cand)
     # Winner ordering packed into ONE string:
     #   packed = lpad(depth) \x00 parent_url \x00 lpad(link_pos)
     # String compare == field-wise compare because depth/link_pos are
@@ -308,6 +317,52 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_in_round_numeric(cand: DataFrame) -> DataFrame:
+    """HashAggregate variant of the in-round dedup (the experiment the
+    packed-string docstring sketches): the winner ordinal is ONE
+    decimal(38,0) — depth*2^94 + parent_ordinal*2^30 + link_pos, where
+    parent_ordinal is 0 for NULL (sorts first, like the packed string's
+    empty field) else xxhash64(parent)+2^63+1 (unsigned-shifted, never 0).
+    Fixed-width decimal buffers are UnsafeRow-mutable, so min() executes
+    as HashAggregate with map-side partial aggregation — no per-group sort
+    and a 16-byte shuffle value instead of the packed parent string.
+
+    The winner row's full columns come from a join back on
+    (url_sha1, packed == min): the aggregate output is already hash-
+    partitioned on url_sha1, so only the candidate side exchanges for the
+    join — the same single candidate shuffle the string variant pays,
+    minus its map-side combine. Duplicate candidate rows that tie exactly
+    (fully identical rows, or distinct parents colliding in xxhash64 —
+    probability 2^-64 per group) are collapsed by a url_sha1-partitioned
+    dropDuplicates that reuses the join's partitioning (no extra
+    exchange). Bounds (asserted by tests): depth < 10^7, link_pos < 2^30.
+    """
+    from decimal import Decimal
+
+    two94 = F.lit(Decimal(2 ** 94))
+    two63p1 = F.lit(Decimal(2 ** 63 + 1))
+    two30 = F.lit(Decimal(2 ** 30))
+    parent_ord = F.when(
+        F.col("parent_url").isNull(), F.lit(Decimal(0))
+    ).otherwise(
+        F.xxhash64(F.col("parent_url")).cast("decimal(20,0)") + two63p1
+    )
+    packed = (
+        F.col("depth").cast("decimal(7,0)") * two94
+        + parent_ord * two30
+        + F.col("link_pos").cast("decimal(10,0)")
+    ).cast("decimal(38,0)")
+    tagged = cand.withColumn("_pk", packed)
+    w = tagged.groupBy("url_sha1").agg(F.min("_pk").alias("_w"))
+    return (
+        tagged.join(w, on="url_sha1")
+        .filter(F.col("_pk") == F.col("_w"))
+        .dropDuplicates(["url_sha1"])
+        .select("url_sha1", "url", "host", "path", "depth", "parent_url",
+                "link_pos")
+    )
+
+
 def anti_join_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:
     """Drop already-seen URLs. `seen` needs only url_sha1. When `seen` is
     the RoundStore bucketed table (CLUSTERED BY url_sha1 — the crawl's
@@ -325,6 +380,7 @@ def admit(
     robots: DataFrame | None = None,
     bloom_prefilter=None,
     scratch: list | None = None,
+    dedup_winner: str = "packed_string",
 ) -> DataFrame:
     """Full admission: returns the admitted frontier rows for this round.
 
@@ -344,7 +400,7 @@ def admit(
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         scratch.append(cand)
     cand = admission_filters(cand, whitelist, max_depth, robots=robots)
-    cand = dedup_in_round(cand)
+    cand = dedup_in_round(cand, winner=dedup_winner)
     if bloom_prefilter is not None:
         maybe_seen, definitely_new = bloom_prefilter(cand)
         return anti_join_seen(maybe_seen, seen).unionByName(definitely_new)
