@@ -1810,6 +1810,113 @@ FROM documents
 """
 
 
+def _sitemap_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-order sitemap <url> fragments (shared by the
+    urlset and index body builders; the DuckDB twin builds the IDENTICAL
+    strings)."""
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    g = (okey % 50).alias("g")
+    frag = F.concat(
+        F.lit("<url><loc>http://h"), okey % 50,
+        F.lit(".example.com/o/"), okey, F.lit("</loc>"),
+        F.when(
+            okey % 3 == 0,
+            F.concat(F.lit("<lastmod>2024-01-"),
+                     F.lpad(((okey % 28) + 1).cast("string"), 2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            okey % 4 == 0,
+            F.concat(F.lit("<priority>0."), (okey % 9) + 1,
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    return orders.select(g, okey.alias("okey"), frag.alias("frag"))
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol source: synthetic urlset bodies (one per host
+    group, fragments ordered by order key) plus one sitemapindex body,
+    parsed by sources.sitemap.parse_sitemaps — regexp block extraction +
+    explode, all native, exact DuckDB twin."""
+    from webcrawler_spark.sources.sitemap import parse_sitemaps
+
+    frags = _sitemap_frags(spark, sf_dir)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("okey", "frag"))),
+        lambda s: s["frag"],
+    )
+    urlsets = frags.groupBy("g").agg(
+        F.concat(F.lit("<urlset>"), F.concat_ws("", ordered),
+                 F.lit("</urlset>")).alias("body")
+    ).select(
+        F.concat(F.lit("h"), F.col("g"), F.lit(".example.com")).alias("host"),
+        "body",
+    )
+    sm_frag = F.concat(
+        F.lit("<sitemap><loc>http://h"), F.col("g"),
+        F.lit(".example.com/sitemap.xml</loc></sitemap>"),
+    )
+    idx_ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("g"), sm_frag.alias("frag")))),
+        lambda s: s["frag"],
+    )
+    index = frags.select("g").distinct().agg(
+        F.concat(F.lit("<sitemapindex>"), F.concat_ws("", idx_ordered),
+                 F.lit("</sitemapindex>")).alias("body")
+    ).select(F.lit("index.example.com").alias("host"), "body")
+    return parse_sitemaps(urlsets.unionByName(index))
+
+
+def _sql_sitemap_parse() -> str:
+    return r"""
+WITH frags AS (
+  SELECT o_orderkey % 50 AS g, o_orderkey AS okey,
+         '<url><loc>http://h' || (o_orderkey % 50)::VARCHAR ||
+         '.example.com/o/' || o_orderkey::VARCHAR || '</loc>' ||
+         CASE WHEN o_orderkey % 3 = 0
+              THEN '<lastmod>2024-01-' ||
+                   lpad(((o_orderkey % 28) + 1)::VARCHAR, 2, '0') ||
+                   '</lastmod>' ELSE '' END ||
+         CASE WHEN o_orderkey % 4 = 0
+              THEN '<priority>0.' || ((o_orderkey % 9) + 1)::VARCHAR ||
+                   '</priority>' ELSE '' END ||
+         '</url>' AS frag
+  FROM orders
+), bodies AS (
+  SELECT 'h' || g::VARCHAR || '.example.com' AS host,
+         '<urlset>' || string_agg(frag, '' ORDER BY okey) || '</urlset>' AS body
+  FROM frags GROUP BY g
+  UNION ALL
+  SELECT 'index.example.com',
+         '<sitemapindex>' || string_agg(
+           '<sitemap><loc>http://h' || g::VARCHAR ||
+           '.example.com/sitemap.xml</loc></sitemap>', '' ORDER BY g) ||
+         '</sitemapindex>'
+  FROM (SELECT DISTINCT o_orderkey % 50 AS g FROM orders)
+), blocks AS (
+  SELECT host, 'url' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM bodies
+  UNION ALL
+  SELECT host, 'sitemap' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+  FROM bodies
+)
+SELECT host, kind,
+       regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS loc,
+       nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+         AS lastmod,
+       coalesce(
+         try_cast(regexp_extract(b, '(?s)<priority>\s*(.*?)\s*</priority>', 1)
+                  AS DOUBLE), 0.5) AS priority
+FROM blocks
+WHERE regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — sketches + as-of join (round 3, batch 2)
 # ---------------------------------------------------------------------------
@@ -2010,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
         "warc_parse": q_warc_parse,
+        "sitemap_parse": q_sitemap_parse,
         "hll_registers": q_hll_registers,
         "hll_merge": q_hll_merge,
         "heavy_hitters": q_heavy_hitters,
@@ -2159,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "tfidf_topk": _sql_tfidf_topk(),
         "warc_parse": _sql_warc_parse(),
+        "sitemap_parse": _sql_sitemap_parse(),
         "hll_registers": _sql_hll_registers(),
         # merge == rebuild for a max-register sketch: the merged-snapshot
         # Spark plan must hash-match the WHOLE-table register SQL
