@@ -190,10 +190,15 @@ def admission_filters(
                 F.lit(False).alias("anchored"),
             )
 
+        # plan-time fast path: promoted plain-prefix rules (legacy rules /
+        # disallow_prefixes inputs) are KNOWN single-segment unanchored, so
+        # they match with a bare startswith — the general wildcard matcher
+        # runs only for parse_robots output that actually carries segments
+        wildcard = False
         if "rules" in robots.columns:
             elem = robots.schema["rules"].dataType.elementType
             if "segments" in elem.names:
-                rules_col = F.col("rules")
+                rules_col, wildcard = F.col("rules"), True
             else:
                 rules_col = F.transform(
                     F.col("rules"), lambda r: _promote(r["prefix"], r["allow"])
@@ -205,7 +210,9 @@ def admission_filters(
             )
         matched = F.filter(
             F.col("_r_rules"),
-            lambda r: rule_matches(F.col("path"), r),
+            (lambda r: rule_matches(F.col("path"), r))
+            if wildcard
+            else (lambda r: F.col("path").startswith(r["prefix"])),
         )
         best = F.array_max(
             F.transform(
