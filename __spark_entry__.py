@@ -1629,6 +1629,51 @@ FROM w
 """
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG/context prep): 32-token windows
+    advancing by 24 — one explode per doc, no shuffle; chunk_text is
+    engine-exact via the standard whitespace tokenizer."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+def _sql_chunk_documents() -> str:
+    step = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           ceil(greatest(len(toks) - {_CHUNK_OVERLAP}, 1) / {step}.0)::BIGINT
+         )) AS chunk_idx
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {step})::BIGINT AS start_tok,
+       len(toks[(chunk_idx * {step} + 1)::BIGINT
+                : (chunk_idx * {step} + {_CHUNK_TOKENS})::BIGINT])::BIGINT
+         AS n_tokens,
+       array_to_string(
+         toks[(chunk_idx * {step} + 1)::BIGINT
+              : (chunk_idx * {step} + {_CHUNK_TOKENS})::BIGINT], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two synthetic corpus snapshots derived from documents
     (old = id%7!=0 with id%13==0 texts NULLed; new = id%5!=0 with id%11==0
@@ -1807,6 +1852,92 @@ SELECT 'https://warc.example.org/doc/' || doc_id::VARCHAR AS url,
        strlen(text)::BIGINT AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+"""
+
+
+# wildcard robots fixture: one body per host, exercising anchored patterns,
+# middle wildcards, Allow overrides, and the degenerate block-all
+_WILDCARD_ROBOTS = [
+    ("h0.example.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/1/f3\n"),
+    ("h1.example.com", "User-agent: *\nDisallow: /*.php$\n"),
+    ("h2.example.com", "User-agent: *\nDisallow: /p/*/f1\nAllow: /p/4\n"),
+    ("h3.example.com", "User-agent: *\nDisallow: /p/2*$\nAllow: /p/2/f5\n"),
+    ("h4.example.com", "User-agent: *\nDisallow: *\n"),
+]
+# (pattern -> equivalent anchored regex) for the DuckDB twin; precedence is
+# the RAW pattern length, allow wins ties — same rule the engine applies
+_WILDCARD_RULES_SQL = [
+    ("h0.example.com", "/p/1", "^/p/1", False),
+    ("h0.example.com", "/p/1/f3", "^/p/1/f3", True),
+    ("h1.example.com", "/*.php$", r"^/.*\.php$", False),
+    ("h2.example.com", "/p/*/f1", "^/p/.*/f1", False),
+    ("h2.example.com", "/p/4", "^/p/4", True),
+    ("h3.example.com", "/p/2*$", "^/p/2.*$", False),
+    ("h3.example.com", "/p/2/f5", "^/p/2/f5", True),
+    ("h4.example.com", "*", "^", False),
+]
+
+
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 9309 wildcard matcher end-to-end against an independent
+    regex oracle: robots BODIES are parsed (parse_robots compiles */$
+    patterns to segment arrays) and candidates run through the REAL
+    admission filter; DuckDB re-decides every (host, path) with anchored
+    regexes + the same longest-pattern/allow-wins precedence."""
+    from webcrawler_spark.operators import admission
+    from webcrawler_spark.sources.robots import parse_robots
+
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    host = F.concat(F.lit("h"), okey % 5, F.lit(".example.com"))
+    path = F.concat(
+        F.lit("/p/"), okey % 7, F.lit("/f"), okey % 11,
+        F.when(okey % 2 == 0, F.lit(".php")).otherwise(F.lit(".html")),
+    )
+    cand = (
+        orders.select(host.alias("host"), path.alias("path"))
+        .distinct()
+        .select(
+            F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url"),
+            "host", "path", F.lit(0).cast("long").alias("depth"),
+        )
+    )
+    robots = parse_robots(
+        spark.createDataFrame(_WILDCARD_ROBOTS, "host string, body string")
+    )
+    out = admission.admission_filters(cand, ["example.com"], 3, robots=robots)
+    return out.select("host", "path")
+
+
+def _sql_robots_wildcard() -> str:
+    vals = ",\n    ".join(
+        f"('{h}', '{p}', '{rx}', {str(a).lower()})"
+        for h, p, rx, a in _WILDCARD_RULES_SQL
+    )
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT
+         'h' || (o_orderkey % 5)::VARCHAR || '.example.com' AS host,
+         '/p/' || (o_orderkey % 7)::VARCHAR || '/f' || (o_orderkey % 11)::VARCHAR ||
+         CASE WHEN o_orderkey % 2 = 0 THEN '.php' ELSE '.html' END AS path
+  FROM orders
+), rules(host, pattern, rx, allow) AS (VALUES
+    {vals}
+), m AS (
+  SELECT c.host, c.path, r.allow, length(r.pattern) AS plen
+  FROM cand c JOIN rules r
+    ON c.host = r.host AND regexp_matches(c.path, r.rx)
+), best AS (
+  SELECT host, path, allow,
+         row_number() OVER (PARTITION BY host, path
+                            ORDER BY plen DESC, allow DESC) AS rn
+  FROM m
+)
+SELECT c.host, c.path
+FROM cand c
+LEFT JOIN (SELECT host, path, allow FROM best WHERE rn = 1) b
+  USING (host, path)
+WHERE b.allow IS NULL OR b.allow
 """
 
 
@@ -2113,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_topk": q_sample_topk,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "robots_wildcard": q_robots_wildcard,
         "snapshot_diff": q_snapshot_diff,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
@@ -2263,6 +2396,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sql_sample_stratified(),
         "sample_topk": _sql_sample_topk(),
         "pack_sequences": _sql_pack_sequences(),
+        "chunk_documents": _sql_chunk_documents(),
+        "robots_wildcard": _sql_robots_wildcard(),
         "snapshot_diff": _sql_snapshot_diff(),
         "inverted_index": _sql_inverted_index(),
         "tfidf_topk": _sql_tfidf_topk(),

@@ -135,6 +135,9 @@ def main() -> None:
     # round-4 additions
     suite_r4 = [
         "hll_merge",
+        "sitemap_parse",
+        "chunk_documents",
+        "robots_wildcard",
     ]
     qs = entrymod.queries()
     for name in suite + suite_r3 + suite_r4:

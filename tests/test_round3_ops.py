@@ -253,6 +253,42 @@ def test_hll_estimate_accuracy_and_merge(spark):
     assert {(r["bucket"], r["max_rho"]) for r in merged.collect()} == whole
 
 
+def test_chunk_documents_windows(spark):
+    from webcrawler_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                               # shorter than a chunk
+            (3, " ".join(f"x{i}" for i in range(8))),   # exact multiple edge
+            (4, "   "),                                 # empty -> no chunks
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in packing.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: step 3, ceil((10-1)/3)=3 chunks at 0,3,6; last is full (6..9)
+    assert [(r[1], r[2], r[3]) for r in rows if r[0] == 1] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4)
+    ]
+    assert rows[0][4] == "t0 t1 t2 t3"
+    # overlap continuity: chunk k shares its last `overlap` tokens with k+1
+    assert rows[1][4].split()[0] == rows[0][4].split()[-1]
+    # doc 2: one short chunk
+    assert [(r[1], r[3], r[4]) for r in rows if r[0] == 2] == [(0, 3, "a b c")]
+    # doc 3: ceil((8-1)/3)=3 chunks, last has 2 tokens (start 6 of 8)
+    assert [(r[1], r[3]) for r in rows if r[0] == 3] == [(0, 4), (1, 4), (2, 2)]
+    # doc 4: dropped
+    assert not [r for r in rows if r[0] == 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        packing.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
 def test_cms_never_underestimates(spark):
     from webcrawler_spark.operators import sketches
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from webcrawler_spark.operators.sampling import hash_bucket
-from webcrawler_spark.operators.textstats import token_count
+from webcrawler_spark.operators.textstats import token_count, tokens
 
 # pack_id = shard * PACKS_PER_SHARD + pack_local. The multiplier bounds
 # packs PER SHARD, not per corpus: at the documented 10^12-token scale a
@@ -46,6 +46,57 @@ from webcrawler_spark.operators.textstats import token_count
 # budget ≈ 3.6x10^16 tokens per shard before overflow, while shard ids up
 # to 2^19 still fit the positive long range (2^19 * 2^44 < 2^63).
 PACKS_PER_SHARD = 1 << 44
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text) for every window of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap`` (RAG / context-window prep; packing's
+    complement: packing concatenates short docs, chunking splits long
+    ones).
+
+    Pure projection + one explode per doc — no shuffle, no Python; chunk
+    count per doc is ceil(max(n - overlap, 1) / step), so output volume
+    ~ corpus tokens x (1 + overlap/step). Token slices reuse the
+    whitespace tokenizer the rest of the engine standardizes on, so
+    chunk_text is engine-exact (DuckDB list-slice twin)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(
+        F.greatest(F.col("_n") - F.lit(overlap), F.lit(1)).cast("double")
+        / F.lit(step)
+    ).cast("long")
+    out = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)  # split("") == [""]
+        .select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_t"),
+            F.size(toks).alias("_n"),
+        )
+        .select(
+            "doc_id", "_t", "_n",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+    )
+    start = (F.col("chunk_idx") * step + 1).cast("long")  # 1-based slice
+    piece = F.slice(F.col("_t"), start, chunk_tokens)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        (start - 1).alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
 
 
 def pack_sequences(
