@@ -1941,6 +1941,83 @@ WHERE b.allow IS NULL OR b.allow
 """
 
 
+_HOST_CAP = 100
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap guard: per-host admission cap — deterministic row_number
+    split, shallowest-first. Returns the kept side."""
+    from webcrawler_spark.operators import admission
+
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    cand = orders.select(
+        F.concat(F.lit("h"), okey % 5, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/p/"), okey % 7, F.lit("/f"), okey % 11,
+            F.when(okey % 2 == 0, F.lit(".php")).otherwise(F.lit(".html")),
+        ).alias("path"),
+    ).distinct()
+    kept, _overflow = admission.cap_per_host(
+        cand, _HOST_CAP, order_cols=("path",)
+    )
+    return kept.select("host", "path")
+
+
+def _sql_host_cap() -> str:
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT
+         'h' || (o_orderkey % 5)::VARCHAR || '.example.com' AS host,
+         '/p/' || (o_orderkey % 7)::VARCHAR || '/f' || (o_orderkey % 11)::VARCHAR ||
+         CASE WHEN o_orderkey % 2 = 0 THEN '.php' ELSE '.html' END AS path
+  FROM orders
+)
+SELECT host, path FROM (
+  SELECT host, path,
+         row_number() OVER (PARTITION BY host ORDER BY path) AS rn
+  FROM cand
+) WHERE rn <= {_HOST_CAP}
+"""
+
+
+_MIX_TARGET = 200
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) mixture sampling over document
+    sources: integer-exact shares from floor(sqrt(n)) weights, hash-
+    threshold membership — reproducible and engine-identical."""
+    from webcrawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(
+        docs, "source", target_rows=_MIX_TARGET, alpha=0.5, salt="mix"
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def _sql_sample_temperature() -> str:
+    return f"""
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n, floor(sqrt(n))::BIGINT AS w FROM c
+), t AS (
+  SELECT sum(w)::BIGINT AS tw FROM w
+), r AS (
+  SELECT source,
+         least(1000000::BIGINT,
+               (({_MIX_TARGET} * w) // tw) * 1000000 // n) AS rate
+  FROM w, t
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|' || 'mix'), 1, 14))::BIGINT
+      % 1000000 < r.rate
+"""
+
+
 def _sitemap_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-order sitemap <url> fragments (shared by the
     urlset and index body builders; the DuckDB twin builds the IDENTICAL
@@ -2246,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "robots_wildcard": q_robots_wildcard,
+        "host_cap": q_host_cap,
+        "sample_temperature": q_sample_temperature,
         "snapshot_diff": q_snapshot_diff,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
@@ -2398,6 +2477,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(),
         "chunk_documents": _sql_chunk_documents(),
         "robots_wildcard": _sql_robots_wildcard(),
+        "host_cap": _sql_host_cap(),
+        "sample_temperature": _sql_sample_temperature(),
         "snapshot_diff": _sql_snapshot_diff(),
         "inverted_index": _sql_inverted_index(),
         "tfidf_topk": _sql_tfidf_topk(),

@@ -138,6 +138,8 @@ def main() -> None:
         "sitemap_parse",
         "chunk_documents",
         "robots_wildcard",
+        "host_cap",
+        "sample_temperature",
     ]
     qs = entrymod.queries()
     for name in suite + suite_r3 + suite_r4:

@@ -269,6 +269,41 @@ def test_parse_error_capture_and_fetch_retry(spark, tmp_path):
     assert f"http://{host}/ok" in item_urls
 
 
+def test_host_cap_trap_guard(spark, fixture_web, tmp_path):
+    """max_admissions_per_host: overflow URLs are marked seen (never
+    re-admitted), never fetched, and surface as host_cap error rows; the
+    crawl still terminates."""
+    paths = fixture_web["paths"]
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    cfg = CrawlConfig(whitelist=WHITELIST, max_depth=2, max_rounds=8,
+                      parsers="combined", max_admissions_per_host=3)
+    res = run_crawl(spark, pages, seeds, cfg,
+                    checkpoint_dir=str(tmp_path / "ckpt_cap"))
+    capped = [r["url"] for r in res.errors(spark)
+              .filter("stage = 'admission' AND message = 'host_cap'")
+              .collect()]
+    assert capped, "fixture web should overflow a 3-per-host cap"
+    fetched = {r["url"] for r in res.order(spark).collect()}
+    assert not (set(capped) & fetched)  # overflow is never fetched
+    seen = {r["url"] for r in res.seen(spark).collect()}
+    assert set(capped) <= seen  # ...but IS seen: never re-admitted
+    # per round, at most 3 NEW urls per host enter the queue; with no
+    # deferrals (no budgets) fetches per (round, host) obey the cap
+    per = (
+        res.order(spark).groupBy("round", "host").count().collect()
+    )
+    assert max(r["count"] for r in per) <= 3
+    # uncapped run fetches strictly more
+    res2 = run_crawl(
+        spark, pages, seeds,
+        CrawlConfig(whitelist=WHITELIST, max_depth=2, max_rounds=8,
+                    parsers="combined"),
+        checkpoint_dir=str(tmp_path / "ckpt_nocap"),
+    )
+    assert res2.order(spark).count() > len(fetched)
+
+
 def test_bloom_never_loses_urls(spark, fixture_web, tmp_path):
     """bloom 'maybe-seen' still passes the exact anti-join: results with and
     without the bloom prefilter are identical."""

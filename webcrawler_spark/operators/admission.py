@@ -21,7 +21,7 @@ Plan-shape notes for 100 TB scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import urls as U
@@ -368,6 +368,30 @@ def _dedup_in_round_numeric(cand: DataFrame) -> DataFrame:
         .select("url_sha1", "url", "host", "path", "depth", "parent_url",
                 "link_pos")
     )
+
+
+def cap_per_host(
+    cand: DataFrame, max_per_host: int,
+    order_cols: tuple[str, ...] = ("depth", "link_pos", "url_sha1"),
+) -> tuple[DataFrame, DataFrame]:
+    """Crawl-trap guard: bound admissions PER HOST per round. Calendar
+    pages, session ids and faceted search mint unbounded distinct URLs on
+    one host; politeness only paces fetches, so without this cap the
+    frontier/queue grows without bound on a trap host. Returns
+    (kept, overflow) split deterministically by a per-host row_number over
+    ``order_cols`` (shallowest first — never task order). The window
+    partitions by host; the trap host's sort is the cost of bounding it
+    (one pass, spill-safe), and every healthy host's partition is small.
+    Callers decide overflow policy — the crawl marks overflow SEEN but
+    never queues it (drop-forever, the standard trap mitigation) and
+    records error rows."""
+    w = Window.partitionBy("host").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    tagged = cand.withColumn("_hr", F.row_number().over(w))
+    kept = tagged.filter(F.col("_hr") <= max_per_host).drop("_hr")
+    overflow = tagged.filter(F.col("_hr") > max_per_host).drop("_hr")
+    return kept, overflow
 
 
 def anti_join_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:

@@ -67,6 +67,52 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — stratum g's share of the
+    ``target_rows`` budget is proportional to n_g^alpha (alpha < 1 damps
+    head strata and boosts the tail, the standard multilingual/domain
+    rebalancing move; alpha = 1 is plain proportional). Rates are then
+    per-stratum Bernoulli via the deterministic hash, so membership stays
+    reproducible and engine-exact.
+
+    Exactness discipline: alpha is restricted to {0.5, 1.0} so the weight
+    is floor(sqrt(n)) or n — IEEE-754 sqrt is correctly rounded in every
+    engine, making the whole rate computation integer-deterministic (no
+    cross-engine pow drift). All arithmetic after the weight is integer
+    (shares = T*w div SUM(w); micro-rates capped at 1).
+
+    Plan: one map-side-combined count per stratum, a 1-row total joined
+    back by broadcast, one broadcast join of the (tiny) rate table onto
+    the corpus, one scan-side filter — no corpus shuffle."""
+    if alpha not in (0.5, 1.0):
+        raise ValueError("alpha must be 0.5 or 1.0 (engine-exact weights)")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        F.floor(F.sqrt(F.col("_n"))).cast("long")
+        if alpha == 0.5
+        else F.col("_n")
+    )
+    weights = counts.select(strata_col, "_n", w.alias("_w"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    # all-integer arithmetic (DIV, not /): bit-identical to the SQL twin
+    rates = weights.crossJoin(F.broadcast(total)).selectExpr(
+        strata_col,
+        f"least(CAST({RATE_DENOM} AS BIGINT), "
+        f"((CAST({int(target_rows)} AS BIGINT) * _w) DIV _tw) "
+        f"* {RATE_DENOM} DIV _n) AS _rate",
+    )
+    return df.join(F.broadcast(rates), on=strata_col).filter(
+        hash_bucket(F.col(key_col), salt) < F.col("_rate")
+    ).drop("_rate")
+
+
 def stratified_topk(
     df: DataFrame,
     strata_col: str,

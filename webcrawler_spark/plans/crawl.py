@@ -117,6 +117,11 @@ class CrawlConfig:
     # bucket; None disables. The trigger probe is a directory listing, the
     # rewrite one bucket-preserving shuffle of the table — amortized over
     # the threshold's worth of rounds
+    max_admissions_per_host: int | None = None  # crawl-trap guard: bound
+    # admitted URLs per host per round; overflow is marked SEEN but never
+    # queued (drop-forever — politeness only PACES fetches, it cannot stop
+    # a trap host from growing the frontier without bound) and surfaces as
+    # error rows (stage='admission', message='host_cap'). None = off.
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -320,8 +325,23 @@ def run_crawl(
             admitted = admitted.repartition(cfg.seen_partitions, "url_sha1")
         admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
 
+        # crawl-trap guard: overflow beyond the per-host cap is marked SEEN
+        # (below: seen_delta uses the FULL admitted set, so trap URLs are
+        # never re-admitted) but never queued; recorded as error rows
+        queue_src, capped_errors = admitted, None
+        if cfg.max_admissions_per_host:
+            queue_src, overflow = admission.cap_per_host(
+                admitted, cfg.max_admissions_per_host
+            )
+            capped_errors = overflow.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "url",
+                F.lit("admission").alias("stage"),
+                F.lit("host_cap").alias("message"),
+            )
+
         queue = deferred.unionByName(
-            admitted.withColumn("attempts", F.lit(0).cast("long"))
+            queue_src.withColumn("attempts", F.lit(0).cast("long"))
         ).unionByName(retry)
 
         seen_delta = admitted.select(
@@ -397,6 +417,8 @@ def run_crawl(
             F.col("p.error").alias("message"),
         )
         errors = errors.unionByName(parse_errors)
+        if capped_errors is not None:
+            errors = errors.unionByName(capped_errors)
         # analyze-failure retry parity (scheduler.go:394): re-enqueue parse
         # errors like fetch misses, counter-gated; both frames are persisted
         # so the semi-join reads cache, not a recompute
