@@ -1382,6 +1382,64 @@ def q_stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.drain_available_now(_token_stats_select(sdf))
 
 
+def q_stream_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's admission hot path AS A STREAM — a continuously-fed
+    frontier (discovered links arriving as files) admitted incrementally:
+    the same candidate synthesis and filter expressions as
+    frontier_admission over STREAMING orders+lineitem sources, a
+    stream-static anti-join against the (static) seen set, then the
+    in-round dedup aggregate as the single stateful op (state = one row
+    per distinct url_sha1 — frontier-sized, not stream-sized). The
+    anti-join runs BEFORE dedup here (it must precede the stateful agg in
+    a stream); it commutes with winner selection — both orders drop the
+    same seen keys — so the drained result hash-matches the SAME batch
+    oracle SQL as frontier_admission."""
+    orders_b = _t(spark, sf_dir, "orders")
+    a = streaming.stream_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_custkey") % 13).cast("long").alias("link_pos"),
+    )
+    b = streaming.stream_table(spark, f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("key"),
+        (F.lit(100) + F.col("l_linenumber")).cast("long").alias("link_pos"),
+    )
+    raw = a.unionByName(b)
+    k = F.col("key")
+    cand = raw.select(
+        _synth_url(k).alias("url"),
+        (k % 8).cast("long").alias("depth"),
+        F.lit("").alias("parent_url"),
+        "link_pos",
+    )
+    cand = (
+        cand.withColumn("url_sha1", F.md5(F.col("url")))
+        .withColumn("host", U.url_host_canonical(F.col("url")))
+        .withColumn("path", U.url_path_canonical(F.col("url")))
+    )
+    # stateless admission predicates: the batch path's distinct-host
+    # semi-join is an agg+self-join (a stream-stream join — not allowed
+    # before the stateful dedup), so the stream evaluates the SAME
+    # conjunction per row within each micro-batch; identical admitted set
+    filt = cand.filter(
+        (
+            F.col("url").startswith("http://")
+            | F.col("url").startswith("https://")
+        )
+        & U.primary_domain(F.col("host")).isin(WHITELIST)
+        & (F.col("depth") <= F.lit(5))
+    )
+    seen = orders_b.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.md5(_synth_url(F.col("o_orderkey"))).alias("url_sha1")
+    )
+    new = admission.anti_join_seen(filt, seen)
+    winners = admission.dedup_in_round(new)
+    out = streaming.drain_available_now(winners, output_mode="complete")
+    return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        "parent_url", "link_pos",
+    )
+
+
 def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-dedup state over a documents stream (update-mode
     aggregation state keyed by content hash, one state row per DISTINCT
@@ -2315,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "stream_token_stats": q_stream_token_stats,
         "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_frontier_admission": q_stream_frontier_admission,
         "stream_events_window": q_stream_events_window,
         "events_sessionize": q_events_sessionize,
         "pagerank": q_pagerank,
@@ -2469,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS keeper_id
             FROM documents GROUP BY md5(text)
         """,
+        "stream_frontier_admission": _sql_frontier_admission(),
         "stream_events_window": _sql_events_window(),
         "events_sessionize": _sql_events_sessionize(),
         "pagerank": _sql_pagerank(),

@@ -140,6 +140,7 @@ def main() -> None:
         "robots_wildcard",
         "host_cap",
         "sample_temperature",
+        "stream_frontier_admission",
     ]
     qs = entrymod.queries()
     for name in suite + suite_r3 + suite_r4:

@@ -102,6 +102,52 @@ class TestStreamIngest:
             map(tuple, want.collect())
         )
 
+    def test_frontier_admission_stream_equals_batch(self, spark, tmp_path):
+        """The crawl admission hot path over a multi-micro-batch candidate
+        stream: duplicates split ACROSS batches must still resolve to one
+        deterministic winner (dedup state crosses the state store), and the
+        seen anti-join (stream-static) drops the same keys as batch."""
+        from webcrawler_spark.operators import admission
+
+        rows = [
+            # (url, depth, parent, pos) — dup of /a in different files
+            ("http://www.example.com/a", 2, "http://p9", 9),
+            ("http://www.example.com/a", 1, "http://p2", 3),
+            ("http://www.example.com/b", 0, None, 1),
+            ("http://www.example.com/seen", 0, None, 2),
+        ]
+        path = str(tmp_path / "cand")
+        df = spark.createDataFrame(
+            rows, "url string, depth long, parent_url string, link_pos long"
+        )
+        df.repartition(4).write.mode("overwrite").parquet(path)
+
+        def pipeline(cand):
+            cand = (
+                cand.withColumn("url_sha1", F.md5(F.col("url")))
+                .withColumn("host", F.lit("www.example.com"))
+                .withColumn("path", F.expr("substring(url, 23)"))
+            )
+            seen = spark.createDataFrame(
+                [("http://www.example.com/seen",)], "u string"
+            ).select(F.md5(F.col("u")).alias("url_sha1"))
+            return admission.dedup_in_round(
+                admission.anti_join_seen(cand, seen)
+            )
+
+        sdf = streaming.stream_table(spark, path, max_files_per_trigger=1)
+        got = sorted(
+            map(tuple, streaming.drain_available_now(
+                pipeline(sdf), output_mode="complete"
+            ).collect())
+        )
+        want = sorted(map(tuple, pipeline(spark.read.parquet(path)).collect()))
+        assert got == want
+        urls = {r[1] for r in got}
+        assert urls == {"http://www.example.com/a", "http://www.example.com/b"}
+        winner = [r for r in got if r[1].endswith("/a")][0]
+        assert winner[4] == 1 and winner[5] == "http://p2"  # min winner
+
     def test_windowed_events_complete_equals_batch(self, spark, events_df, tmp_path):
         path = str(tmp_path / "ev")
         events_df.repartition(2).write.mode("overwrite").parquet(path)
