@@ -290,3 +290,85 @@ def test_feeds_admission_filter(spark):
         "http://www.example.com/ok",
         "http://www.other.com/private/x",  # no robots row -> unrestricted
     ]
+
+
+# ---- Sitemap: pointers + Crawl-delay (round 5) ----------------------------
+
+BODY_DISCOVERY = """# discovery fields
+Sitemap: http://e.com/sitemap_index.xml
+User-agent: OnlyBot
+Disallow: /x/
+Sitemap: http://e.com/extra.xml   # trailing comment
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /private/
+Sitemap: http://e.com/sitemap_index.xml
+"""
+
+BODY_DELAY_NON_STAR = """User-agent: OnlyBot
+Crawl-delay: 99
+"""
+
+BODY_DELAY_MULTI = """User-agent: *
+Crawl-delay: 3
+Crawl-delay: 12
+User-agent: other
+Crawl-delay: 1000
+"""
+
+BODY_DELAY_BOGUS = """User-agent: *
+Crawl-delay: soon
+Crawl-delay: -4
+"""
+
+
+def test_sitemap_pointers_group_independent(spark):
+    """RFC 9309 §2.3: Sitemap lines count wherever they appear — before any
+    group, inside a non-* group, inside the * group — and dedup."""
+    from webcrawler_spark.sources.robots import robots_sitemaps
+
+    df = spark.createDataFrame([("e.com", BODY_DISCOVERY)], "host: string, body: string")
+    got = sorted((r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect())
+    assert got == [
+        ("e.com", "http://e.com/extra.xml"),
+        ("e.com", "http://e.com/sitemap_index.xml"),
+    ]
+    # the same body still yields the * group's rules through parse_robots
+    rules = {r["host"]: list(r["disallow_prefixes"]) for r in parse_robots(df).collect()}
+    assert rules == {"e.com": ["/private/"]}
+
+
+def test_crawl_delay_star_group_scoped(spark):
+    from webcrawler_spark.sources.robots import crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            ("e.com", BODY_DISCOVERY),        # 2.5 in the * group
+            ("f.com", BODY_DELAY_NON_STAR),   # only a non-* group -> no row
+            ("g.com", BODY_DELAY_MULTI),      # two * values -> max wins (12)
+            ("h.com", BODY_DELAY_BOGUS),      # unparsable / negative -> no row
+        ],
+        "host: string, body: string",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(df).collect()}
+    assert got == {"e.com": 2.5, "g.com": 12.0}
+
+
+def test_budgets_from_crawl_delay(spark):
+    from webcrawler_spark.sources.robots import budgets_from_crawl_delay, crawl_delays
+
+    df = spark.createDataFrame(
+        [("e.com", BODY_DISCOVERY), ("g.com", BODY_DELAY_MULTI)],
+        "host: string, body: string",
+    )
+    budgets = {
+        r["host"]: r["budget_per_round"]
+        for r in budgets_from_crawl_delay(crawl_delays(df), round_seconds=60.0).collect()
+    }
+    # 60/2.5 = 24; 60/12 = 5
+    assert budgets == {"e.com": 24, "g.com": 5}
+    # a delay longer than the round floors at 1 (never starves the host)
+    slow = spark.createDataFrame([("s.com", 600.0)], "host: string, crawl_delay: double")
+    assert budgets_from_crawl_delay(slow, round_seconds=60.0).collect()[0][
+        "budget_per_round"
+    ] == 1
