@@ -2162,24 +2162,27 @@ WITH frags AS (
            '.example.com/sitemap.xml</loc></sitemap>', '' ORDER BY g) ||
          '</sitemapindex>'
   FROM (SELECT DISTINCT o_orderkey % 50 AS g FROM orders)
-), blocks AS (
+), arrs AS (
   SELECT host, 'url' AS kind,
-         unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+         regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1) AS l
   FROM bodies
   UNION ALL
   SELECT host, 'sitemap' AS kind,
-         unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+         regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1) AS l
   FROM bodies
+), blocks AS (
+  SELECT host, kind, unnest(list_zip(l, range(0, len(l)))) AS z FROM arrs
 )
 SELECT host, kind,
-       regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS loc,
-       nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+       z[2]::BIGINT AS pos,
+       regexp_extract(z[1], '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS loc,
+       nullif(regexp_extract(z[1], '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
          AS lastmod,
        coalesce(
-         try_cast(regexp_extract(b, '(?s)<priority>\s*(.*?)\s*</priority>', 1)
+         try_cast(regexp_extract(z[1], '(?s)<priority>\s*(.*?)\s*</priority>', 1)
                   AS DOUBLE), 0.5) AS priority
 FROM blocks
-WHERE regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
+WHERE regexp_extract(z[1], '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
 """
 
 

@@ -69,5 +69,35 @@ def test_seed_ordering_priority_then_url(spark):
         "http://www.example.com/c",
     ]
     assert [r["order"] for r in sorted(seeds, key=lambda r: r["order"])] == [0, 1, 2]
-    # the output shape is exactly what seeds_to_candidates consumes
-    assert set(seeds[0].asDict()) == {"url", "order"}
+    # the output shape is exactly what seeds_to_candidates consumes;
+    # priority is in integer frontier units (0.9 -> 90, default 0.5 -> 50)
+    assert set(seeds[0].asDict()) == {"url", "order", "priority"}
+    assert [r["priority"] for r in sorted(seeds, key=lambda r: r["order"])] == [
+        90, 50, 50,
+    ]
+
+
+def test_block_positions_are_in_file_order(spark):
+    parsed = _parse(spark, [("example.com", URLSET), ("example.com", INDEX)])
+    by_loc = {r["loc"]: (r["kind"], r["pos"]) for r in parsed.collect()}
+    # url blocks: 0-based position within the body's <url> blocks (the
+    # loc-less block still occupies position 3 but is dropped)
+    assert by_loc["http://www.example.com/a"] == ("url", 0)
+    assert by_loc["http://www.example.com/b"] == ("url", 1)
+    assert by_loc["http://www.example.com/c"] == ("url", 2)
+    # index blocks: independent position space per kind
+    assert by_loc["http://www.example.com/sitemap1.xml"] == ("sitemap", 0)
+    assert by_loc["http://www.example.com/sitemap2.xml"] == ("sitemap", 1)
+
+
+def test_seed_dedup_across_sitemaps_takes_max_priority(spark):
+    """ADVICE fix: a URL listed in two sitemaps with different priorities
+    must yield ONE seed row (max priority), so (url, order) stays unique."""
+    dup_a = "<urlset><url><loc>http://www.example.com/d</loc><priority>0.2</priority></url></urlset>"
+    dup_b = "<urlset><url><loc>http://www.example.com/d</loc><priority>0.8</priority></url></urlset>"
+    parsed = _parse(spark, [("example.com", dup_a), ("example.com", dup_b)])
+    seeds = sitemap_seeds(parsed).collect()
+    assert len(seeds) == 1
+    assert seeds[0]["url"] == "http://www.example.com/d"
+    assert seeds[0]["order"] == 0
+    assert seeds[0]["priority"] == 80

@@ -36,31 +36,61 @@ _PRIORITY = r"(?s)<priority>\s*(.*?)\s*</priority>"
 
 DEFAULT_PRIORITY = 0.5  # sitemaps.org: "The default priority of a page is 0.5"
 
+PRIORITY_SCALE = 100  # frontier priority units per 1.0 of sitemap priority
+
+
+def priority_units(priority) -> "F.Column":
+    """Sitemap <priority> (double, 0.0-1.0) -> the integer frontier
+    priority the queue ranks by (`priority long`, SURVEY §1). floor(x*100
+    + 0.5) instead of round(): HALF_UP on both engines and in plain
+    Python (`priority_units_py`), so 0.9 -> 90 exactly even though
+    0.9*100 is 90.00000000000001 in binary."""
+    return F.floor(priority * PRIORITY_SCALE + F.lit(0.5)).cast("long")
+
+
+def priority_units_py(priority: float) -> int:
+    """Python twin of :func:`priority_units` (oracle/simulator side)."""
+    import math
+
+    return int(math.floor(priority * PRIORITY_SCALE + 0.5))
+
 
 def parse_sitemaps(
-    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+    bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(host, body) -> (host, kind, loc, lastmod, priority).
+    """(host, body) -> (host, kind, pos, loc, lastmod, priority).
 
     kind='url' rows are page URLs (priority defaulted to 0.5 when absent
     or unparsable, per the protocol); kind='sitemap' rows are child
-    sitemaps from an index file. Blocks without a <loc> are dropped —
-    the protocol makes <loc> mandatory."""
+    sitemaps from an index file. ``pos`` is the block's 0-based position
+    within its kind's blocks of that body — the deterministic in-file
+    order the crawl uses as link_pos. Blocks without a <loc> are dropped —
+    the protocol makes <loc> mandatory. ``carry_cols`` pass through
+    untouched (the crawl threads parent url/depth alongside the body)."""
     host = F.col(host_col).alias("host")
     body = F.col(body_col)
+    carried = [F.col(c) for c in carry_cols]
 
     def blocks(pattern: str, kind: str) -> DataFrame:
         out = bodies.select(
             host,
+            *carried,
             F.lit(kind).alias("kind"),
-            F.explode(F.regexp_extract_all(body, F.lit(pattern), 1)).alias("_b"),
+            F.posexplode(F.regexp_extract_all(body, F.lit(pattern), 1)).alias(
+                "pos", "_b"
+            ),
         )
         loc = F.regexp_extract(F.col("_b"), _LOC, 1)
         lastmod = F.regexp_extract(F.col("_b"), _LASTMOD, 1)
         pr = F.regexp_extract(F.col("_b"), _PRIORITY, 1)
         return out.select(
             "host",
+            *[F.col(c) for c in carry_cols],
             "kind",
+            F.col("pos").cast("long").alias("pos"),
             loc.alias("loc"),
             F.when(lastmod == "", F.lit(None).cast("string"))
             .otherwise(lastmod).alias("lastmod"),
@@ -73,10 +103,14 @@ def parse_sitemaps(
 
 
 def sitemap_seeds(parsed: DataFrame) -> DataFrame:
-    """kind='url' rows -> the (url, order) seed shape the crawl consumes
-    (plans.crawl.seeds_to_candidates). Order is deterministic and
-    protocol-faithful: highest priority first, URL as the tiebreak —
-    never task order.
+    """kind='url' rows -> the (url, order, priority) seed shape the crawl
+    consumes (plans.crawl.seeds_to_candidates; priority in integer frontier
+    units). Order is deterministic and protocol-faithful: highest priority
+    first, URL as the tiebreak — never task order.
+
+    A URL listed in multiple sitemaps (or twice with different priorities)
+    yields exactly ONE seed row carrying its MAX priority — the per-url
+    aggregate runs BEFORE the rank, so (url, order) is unique as promised.
 
     Scale note: the dense global rank is a single-task window, which is
     correct for seed lists (bounded, like the reference's InitReqList).
@@ -86,8 +120,8 @@ def sitemap_seeds(parsed: DataFrame) -> DataFrame:
     w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
     return (
         parsed.filter(F.col("kind") == "url")
-        .select(F.col("loc").alias("url"), "priority")
-        .distinct()
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("priority").alias("priority"))
         .withColumn("order", F.row_number().over(w).cast("long") - 1)
-        .select("url", "order")
+        .select("url", "order", priority_units(F.col("priority")).alias("priority"))
     )
