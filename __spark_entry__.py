@@ -2186,6 +2186,134 @@ WHERE regexp_extract(z[1], '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
 """
 
 
+def _robots_discovery_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic robots.txt bodies, one per host group: a DECOY non-*
+    group (whose Crawl-delay: 999 must be ignored), the * group with an
+    arithmetic Crawl-delay on 2/3 of hosts, a Disallow, and okey-gated
+    `Sitemap:` lines scattered through the file. The DuckDB twins
+    synthesize the EXPECTED extraction from the same arithmetic instead of
+    re-parsing text — an independent oracle for the parser."""
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    g = (okey % 20).alias("g")
+    sm_line = F.when(
+        okey % 11 == 0,
+        F.concat(F.lit("Sitemap: http://h"), okey % 20,
+                 F.lit(".example.com/sm"), okey % 5, F.lit(".xml")),
+    )
+    rows = orders.select(g, okey.alias("okey"), sm_line.alias("sm"))
+    sm_block = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("sm").isNotNull(), F.struct("okey", "sm"))
+                )
+            ),
+            lambda s: s["sm"],
+        ),
+    )
+    gc = F.col("g")
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: otherbot"),
+        F.lit("Crawl-delay: 999"),           # decoy: non-* group
+        F.lit("Disallow: /other/"),
+        F.lit("User-agent: *"),
+        F.when(
+            gc % 3 != 0,
+            F.concat(F.lit("Crawl-delay: "), (gc % 7 + 1).cast("string")),
+        ).otherwise(F.lit("")),               # blank line: parser ignores
+        F.concat(F.lit("Disallow: /d"), gc),
+        sm_block,
+    )
+    return rows.groupBy("g").agg(body.alias("body")).select(
+        F.concat(F.lit("h"), F.col("g"), F.lit(".example.com")).alias("host"),
+        "body",
+    )
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.3 `Sitemap:` extraction — group-independent (lines in
+    the decoy group and the * group both count), absolute-URL values kept
+    intact past the first colon, deduped."""
+    from webcrawler_spark.sources.robots import robots_sitemaps
+
+    return robots_sitemaps(_robots_discovery_bodies(spark, sf_dir))
+
+
+def _sql_robots_sitemaps() -> str:
+    return """
+SELECT DISTINCT
+       'h' || (o_orderkey % 20)::VARCHAR || '.example.com' AS host,
+       'http://h' || (o_orderkey % 20)::VARCHAR || '.example.com/sm' ||
+       (o_orderkey % 5)::VARCHAR || '.xml' AS sitemap_url
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay -> politeness budgets: the * group's delay (the decoy
+    group's 999 must NOT leak in) becomes floor(60/delay) slots/round."""
+    from webcrawler_spark.sources.robots import (
+        budgets_from_crawl_delay,
+        crawl_delays,
+    )
+
+    return budgets_from_crawl_delay(
+        crawl_delays(_robots_discovery_bodies(spark, sf_dir)), round_seconds=60.0
+    )
+
+
+def _sql_crawl_delay_budget() -> str:
+    return """
+SELECT 'h' || g::VARCHAR || '.example.com' AS host,
+       greatest(1, floor(60.0 / (g % 7 + 1))::BIGINT) AS budget_per_round
+FROM (SELECT DISTINCT o_orderkey % 20 AS g FROM orders)
+WHERE g % 3 <> 0
+"""
+
+
+def q_politeness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware politeness ranking (SURVEY §1 `priority long`):
+    budget slots go to the highest-priority URLs first — the per-host rank
+    orders by (priority desc, depth asc, url_sha1 asc); top-3 kept."""
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    queue = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host"),
+        (okey % 4).alias("depth"),
+        ((okey % 3) * 10).alias("priority"),
+        F.md5(okey.cast("string")).alias("url_sha1"),
+        okey.alias("okey"),
+    )
+    return (
+        ranked(queue)
+        .filter(F.col("slot_rank") <= 3)
+        .select("host", F.col("slot_rank").cast("long").alias("slot_rank"),
+                "okey", F.col("priority").cast("long").alias("priority"))
+    )
+
+
+def _sql_politeness_priority() -> str:
+    return """
+WITH queue AS (
+  SELECT 'h' || (o_custkey % 50)::VARCHAR AS host,
+         (o_orderkey % 4)::BIGINT AS depth,
+         ((o_orderkey % 3) * 10)::BIGINT AS priority,
+         md5(o_orderkey::VARCHAR) AS url_md5,
+         o_orderkey::BIGINT AS okey
+  FROM orders
+)
+SELECT host, rn::BIGINT AS slot_rank, okey, priority FROM (
+  SELECT host, okey, priority,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, depth, url_md5) AS rn
+  FROM queue
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — sketches + as-of join (round 3, batch 2)
 # ---------------------------------------------------------------------------
@@ -2344,6 +2472,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "robots_sitemaps": q_robots_sitemaps,
+        "crawl_delay_budget": q_crawl_delay_budget,
+        "politeness_priority": q_politeness_priority,
         "frontier_admission": q_frontier_admission,
         "seed_list_decode": q_seed_list_decode,
         "round_order_topk": q_round_order_topk,
@@ -2406,6 +2537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "robots_sitemaps": _sql_robots_sitemaps(),
+        "crawl_delay_budget": _sql_crawl_delay_budget(),
+        "politeness_priority": _sql_politeness_priority(),
         "frontier_admission": _sql_frontier_admission(),
         "seed_list_decode": """
             WITH src AS (

@@ -65,6 +65,8 @@ class Candidate:
     depth: int
     parent: str
     link_pos: int
+    priority: int = 0   # frontier priority units (sitemap <priority> x100;
+    # plain links 0) — politeness ranks (priority desc, depth, sha1)
     attempts: int = 0
 
 
@@ -120,7 +122,9 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
     deferred: list[Candidate] = []
     retry: list[Candidate] = []
     candidates = [
-        Candidate(url="", sha1="", depth=0, parent="", link_pos=s["order"])
+        Candidate(url="", sha1="", depth=0, parent="",
+                  link_pos=s.get("link_pos", s["order"]),
+                  priority=s.get("priority", 0))
         for s in sorted(seeds, key=lambda s: s["order"])
     ]
     # seeds carry raw urls; normalize representation: raw in .url for now
@@ -140,13 +144,20 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                 continue
             canon, sha = adm
             cand = Candidate(url=canon, sha1=sha, depth=c.depth,
-                             parent=c.parent, link_pos=c.link_pos)
+                             parent=c.parent, link_pos=c.link_pos,
+                             priority=c.priority)
             prev = best.get(sha)
-            # deterministic in-round winner: min (depth, parent, link_pos)
+            # deterministic in-round winner: min (depth, parent, link_pos);
+            # priority is NOT part of the ordering — the winner carries the
+            # MAX priority over all duplicates (engine: max() in the agg)
             if prev is None or (cand.depth, cand.parent, cand.link_pos) < (
                 prev.depth, prev.parent, prev.link_pos
             ):
+                cand.priority = max(cand.priority,
+                                    prev.priority if prev else cand.priority)
                 best[sha] = cand
+            else:
+                prev.priority = max(prev.priority, cand.priority)
         for sha, cand in best.items():
             if sha in res.seen:
                 continue
@@ -169,7 +180,8 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
             for c in queue:
                 by_host.setdefault(url_host(c.url), []).append(c)
             for host, cands in by_host.items():
-                cands.sort(key=lambda c: (c.depth, c.sha1))  # priority = depth
+                # priority desc, then depth asc, then sha1 (politeness.ranked)
+                cands.sort(key=lambda c: (-c.priority, c.depth, c.sha1))
                 budget = cfg.budgets.get(host)
                 if budget is None:
                     fetch_now.extend(cands)
@@ -198,6 +210,7 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                     retry.append(
                         Candidate(url=c.url, sha1=c.sha1, depth=c.depth,
                                   parent=c.parent, link_pos=c.link_pos,
+                                  priority=c.priority,
                                   attempts=c.attempts + 1)
                     )
                 continue
@@ -211,6 +224,31 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                          "file_size": len(page["html"]), "jcux": None}
                     )
                     n_items += 1
+                continue
+            if ct == "application/xml":
+                # Sitemaps protocol: index children re-enter admission as
+                # fetchable URLs, urlset entries as page candidates with
+                # their <priority> — same constants/regexes as the engine
+                from webcrawler_spark.plans.crawl import (
+                    SITEMAP_LINK_POS,
+                    SITEMAP_PRIORITY,
+                )
+                from webcrawler_spark.sources.sitemap import (
+                    parse_sitemaps_py,
+                    priority_units_py,
+                )
+
+                for blk in parse_sitemaps_py(page["html"].decode("utf-8")):
+                    if blk["kind"] == "sitemap":
+                        lp = SITEMAP_LINK_POS + blk["pos"]
+                        pr = SITEMAP_PRIORITY
+                    else:
+                        lp = blk["pos"]
+                        pr = priority_units_py(blk["priority"])
+                    next_candidates.append(
+                        Candidate(url=blk["loc"], sha1="", depth=c.depth + 1,
+                                  parent=c.url, link_pos=lp, priority=pr)
+                    )
                 continue
             if not ct.startswith("text/html"):
                 continue
@@ -237,6 +275,7 @@ def crawl(pages: list[dict], seeds: list[dict], cfg: CrawlConfig) -> CrawlResult
                     retry.append(
                         Candidate(url=c.url, sha1=c.sha1, depth=c.depth,
                                   parent=c.parent, link_pos=c.link_pos,
+                                  priority=c.priority,
                                   attempts=c.attempts + 1)
                     )
                 continue

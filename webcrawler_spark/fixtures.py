@@ -342,6 +342,7 @@ def content_type_for(url: str) -> str:
     for ext, ct in (
         (".jpg", "image/jpeg"), (".jpeg", "image/jpeg"),
         (".png", "image/png"), (".gif", "image/gif"),
+        (".xml", "application/xml"),
     ):
         if path.endswith(ext):
             return ct

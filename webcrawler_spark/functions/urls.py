@@ -155,6 +155,7 @@ def content_type_for(url: Column) -> Column:
         F.when(path.endswith(".jpg") | path.endswith(".jpeg"), F.lit("image/jpeg"))
         .when(path.endswith(".png"), F.lit("image/png"))
         .when(path.endswith(".gif"), F.lit("image/gif"))
+        .when(path.endswith(".xml"), F.lit("application/xml"))
         .otherwise(F.lit("text/html; charset=utf-8"))
     )
 

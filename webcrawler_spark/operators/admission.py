@@ -274,9 +274,16 @@ def dedup_in_round(cand: DataFrame, winner: str = "packed_string") -> DataFrame:
     ordered by (depth, xxhash64(parent), link_pos) instead of the
     lexicographic parent — deterministic, but a different (and 2^-64
     collision-tolerant) tie-break. Kept off the default path so the
-    contract queries pin the reference-faithful ordering."""
+    contract queries pin the reference-faithful ordering.
+
+    A `priority` column, when present, is NOT part of the winner ordering:
+    the admitted row carries the MAX priority over all duplicates (a URL
+    discovered both by a 0.9-priority sitemap entry and a plain link keeps
+    the sitemap's urgency) — one more column in the same aggregate, order-
+    free and identical across both winner variants."""
     if winner == "numeric":
         return _dedup_in_round_numeric(cand)
+    has_priority = "priority" in cand.columns
     # Winner ordering packed into ONE string:
     #   packed = lpad(depth) \x00 parent_url \x00 lpad(link_pos)
     # String compare == field-wise compare because depth/link_pos are
@@ -306,12 +313,15 @@ def dedup_in_round(cand: DataFrame, winner: str = "packed_string") -> DataFrame:
         ),
         F.lpad(F.col("link_pos").cast("string"), 19, "0"),
     )
-    agg = cand.groupBy("url_sha1").agg(
+    aggs = [
         F.min("url").alias("url"),
         F.min("host").alias("host"),
         F.min("path").alias("path"),
         F.min(packed).alias("_w"),
-    )
+    ]
+    if has_priority:
+        aggs.append(F.max("priority").alias("priority"))
+    agg = cand.groupBy("url_sha1").agg(*aggs)
     parts = F.split(F.col("_w"), "\x00")
     packed_parent = F.element_at(parts, 2)
     return agg.select(
@@ -321,6 +331,7 @@ def dedup_in_round(cand: DataFrame, winner: str = "packed_string") -> DataFrame:
         .otherwise(F.substring(packed_parent, 2, F.lit(1 << 30)))
         .alias("parent_url"),
         F.element_at(parts, 3).cast("long").alias("link_pos"),
+        *(["priority"] if has_priority else []),
     )
 
 
@@ -342,7 +353,14 @@ def _dedup_in_round_numeric(cand: DataFrame) -> DataFrame:
     (fully identical rows, or distinct parents colliding in xxhash64 —
     probability 2^-64 per group) are collapsed by a url_sha1-partitioned
     dropDuplicates that reuses the join's partitioning (no extra
-    exchange). Bounds (asserted by tests): depth < 10^7, link_pos < 2^30.
+    exchange).
+
+    Bounds: depth < 10^7 and link_pos < 2^30 — ENFORCED, not assumed.
+    With ANSI off, an overflowing decimal(7,0)/(10,0) cast yields NULL,
+    NULL `_pk` rows lose every min() and `_pk == _w` comparison, and the
+    URL would vanish SILENTLY; the raise_error branch (folded into the
+    packed expression so column pruning cannot drop it) turns that into a
+    loud task failure instead.
     """
     from decimal import Decimal
 
@@ -354,19 +372,37 @@ def _dedup_in_round_numeric(cand: DataFrame) -> DataFrame:
     ).otherwise(
         F.xxhash64(F.col("parent_url")).cast("decimal(20,0)") + two63p1
     )
+    in_bounds = (F.col("depth") < F.lit(10 ** 7)) & (
+        F.col("link_pos") < F.lit(2 ** 30)
+    )
+    guard = F.when(in_bounds, F.lit(Decimal(0))).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_in_round(winner='numeric') bounds exceeded: "
+                      "depth/link_pos out of range for url "),
+                F.col("url"),
+            )
+        ).cast("decimal(38,0)")
+    )
     packed = (
         F.col("depth").cast("decimal(7,0)") * two94
         + parent_ord * two30
         + F.col("link_pos").cast("decimal(10,0)")
+        + guard
     ).cast("decimal(38,0)")
+    has_priority = "priority" in cand.columns
     tagged = cand.withColumn("_pk", packed)
-    w = tagged.groupBy("url_sha1").agg(F.min("_pk").alias("_w"))
+    w_aggs = [F.min("_pk").alias("_w")]
+    if has_priority:
+        w_aggs.append(F.max("priority").alias("_prio"))
+    w = tagged.groupBy("url_sha1").agg(*w_aggs)
     return (
         tagged.join(w, on="url_sha1")
         .filter(F.col("_pk") == F.col("_w"))
         .dropDuplicates(["url_sha1"])
         .select("url_sha1", "url", "host", "path", "depth", "parent_url",
-                "link_pos")
+                "link_pos",
+                *([F.col("_prio").alias("priority")] if has_priority else []))
     )
 
 

@@ -5,10 +5,13 @@ The reference's only per-host throttle is MaxIdleConnsPerHost=5
 host-keyed priority queue with per-host budgets. Semantics:
 
 * queue = deferred-from-last-round ∪ newly-admitted;
-* per host, rank by (priority=depth asc, url_sha1 asc) — a deterministic
-  priority queue; the first `budget` rows fetch this round, the rest defer
-  with attributes intact (they are already in the seen set: admission, not
-  fetch, marks seen — scheduler.go:574);
+* per host, rank by (priority desc, depth asc, url_sha1 asc) — a
+  deterministic priority queue (SURVEY §1's `priority long`: sitemap
+  <priority> x100 for sitemap-discovered URLs, 0 for plain links — so a
+  priority-less queue ranks by (depth, url_sha1) exactly as before); the
+  first `budget` rows fetch this round, the rest defer with attributes
+  intact (they are already in the seen set: admission, not fetch, marks
+  seen — scheduler.go:574);
 * hosts without a budget row are unlimited.
 
 Scale note: a plain `row_number() OVER (PARTITION BY host)` puts the entire
@@ -28,8 +31,14 @@ UNLIMITED = 1 << 31
 
 def ranked(queue: DataFrame, salt_buckets: int | None = None,
            max_budget: int | None = None) -> DataFrame:
-    """Add `slot_rank` = deterministic per-host priority-queue position."""
+    """Add `slot_rank` = deterministic per-host priority-queue position.
+
+    Ranks by (priority desc, depth asc, url_sha1 asc) when the queue
+    carries a `priority` column, (depth, url_sha1) otherwise — budget
+    slots go to the highest-priority URLs first, shallowest as tiebreak."""
     order = [F.col("depth").asc(), F.col("url_sha1").asc()]
+    if "priority" in queue.columns:
+        order = [F.col("priority").desc()] + order
     if salt_buckets and max_budget:
         # phase 1: top max_budget per (host, salt) — shrinks hot hosts from
         # |host| rows to ≤ max_budget × salt_buckets before the global rank

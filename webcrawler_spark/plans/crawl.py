@@ -49,6 +49,7 @@ CANDIDATE_SCHEMA = T.StructType(
         T.StructField("depth", T.LongType()),
         T.StructField("parent_url", T.StringType()),
         T.StructField("link_pos", T.LongType()),
+        T.StructField("priority", T.LongType()),
     ]
 )
 
@@ -58,8 +59,18 @@ RAW_CANDIDATE_SCHEMA = T.StructType(
         T.StructField("depth", T.LongType()),
         T.StructField("parent_url", T.StringType()),
         T.StructField("link_pos", T.LongType()),
+        T.StructField("priority", T.LongType()),
     ]
 )
+
+# frontier priority units (SURVEY §1 `priority long`): plain links rank 0,
+# sitemap-discovered URLs carry their <priority> x PRIORITY_SCALE (0-100),
+# sitemap FETCHES (robots pointers + index children) rank above everything —
+# discovering a 50k-URL sitemap beats fetching any single page
+SITEMAP_PRIORITY = 2 * 100  # 2 x sitemap.PRIORITY_SCALE (> any <priority>)
+# link_pos for sitemap-discovered candidates: a distinct space above any
+# in-page link position (bounded < 2^30 for the numeric dedup variant)
+SITEMAP_LINK_POS = 1 << 29
 
 # queue rows = candidate columns + fetch-attempt counter (retry support)
 QUEUE_SCHEMA = T.StructType(
@@ -122,6 +133,10 @@ class CrawlConfig:
     # queued (drop-forever — politeness only PACES fetches, it cannot stop
     # a trap host from growing the frontier without bound) and surfaces as
     # error rows (stage='admission', message='host_cap'). None = off.
+    round_seconds: float = 60.0          # polite wall-clock a round models;
+    # with robots_bodies, hosts declaring `Crawl-delay: d` default to
+    # budget_per_round = max(1, floor(round_seconds / d)) unless the caller's
+    # explicit budgets table already names the host (explicit wins)
     seen_partitions: int | None = None   # repartition seen deltas by url_sha1
     parse_partitions: int | str | None = "auto"  # widen the parse stage:
     # AQE coalesces the fetch-join output by BYTES, but HTML parsing is
@@ -151,12 +166,39 @@ class CrawlResult:
 def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
     """Seed list -> raw round-0 candidates (InitReqList analog,
     exampes/finder/bm1365Model/JcUx.go:47-85: every seed enters SendReq at
-    depth 0)."""
+    depth 0). Seeds from sitemap_seeds carry a `priority` column (integer
+    frontier units) which threads into the queue; plain seed lists get 0."""
+    prio = (
+        F.col("priority").cast("long")
+        if "priority" in seeds.columns
+        else F.lit(0).cast("long")
+    )
     return seeds.select(
         F.col("url").cast("string").alias("url"),
         F.lit(0).cast("long").alias("depth"),
         F.lit("").alias("parent_url"),
         F.col("order").cast("long").alias("link_pos"),
+        prio.alias("priority"),
+    )
+
+
+def sitemap_pointer_candidates(robots_bodies: DataFrame) -> DataFrame:
+    """robots.txt bodies -> raw round-0 candidates for their ``Sitemap:``
+    pointers (RFC 9309 §2.3) — the discovery bootstrap real crawls start
+    from: robots -> sitemapindex -> urlset -> frontier. Pointers enter
+    admission like any URL (whitelist/robots/depth/dedup all apply) at
+    depth 0 with SITEMAP_PRIORITY, so politeness fetches them before any
+    page. link_pos is the constant SITEMAP_LINK_POS: pointer rows need no
+    within-parent order, and duplicates (two hosts naming one sitemap)
+    pack identical winner metadata — deterministic without a global rank."""
+    from ..sources.robots import robots_sitemaps
+
+    return robots_sitemaps(robots_bodies).select(
+        F.col("sitemap_url").alias("url"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit("").alias("parent_url"),
+        F.lit(SITEMAP_LINK_POS).cast("long").alias("link_pos"),
+        F.lit(SITEMAP_PRIORITY).cast("long").alias("priority"),
     )
 
 
@@ -197,8 +239,20 @@ def run_crawl(
     checkpoint_dir: str,
     budgets: DataFrame | None = None,
     robots: DataFrame | None = None,
+    robots_bodies: DataFrame | None = None,
     resume: bool = False,
 ) -> CrawlResult:
+    """See module docstring. ``robots_bodies`` is the raw-robots.txt entry
+    point ((host, body) rows): when given, the crawl derives everything a
+    robots file feeds — admission rules (parse_robots, unless an explicit
+    ``robots`` table overrides), default per-host politeness budgets from
+    ``Crawl-delay`` (explicit ``budgets`` rows win per host), and round-0
+    frontier candidates for every ``Sitemap:`` pointer. Fetched sitemap
+    bodies (content-type application/xml) are parsed per the Sitemaps
+    protocol each round: index children re-enter admission as fetchable
+    kind='sitemap' URLs, urlset entries as page candidates carrying their
+    <priority> — the full robots -> sitemapindex -> urlset -> pages
+    discovery chain, closed inside the round DAG."""
     store = RoundStore(checkpoint_dir)
     result = CrawlResult(store=store)
     bucketed = cfg.seen_backend == "bucketed"
@@ -211,6 +265,29 @@ def run_crawl(
         store.ensure_seen_table(
             spark, cfg.seen_buckets or spark.sparkContext.defaultParallelism
         )
+
+    if robots_bodies is not None:
+        from ..sources.robots import (
+            budgets_from_crawl_delay,
+            crawl_delays,
+            parse_robots,
+        )
+
+        if robots is None:
+            # localCheckpoint: the rules dim table is broadcast every round;
+            # materializing it once keeps the per-host window parse out of
+            # every round's plan (bounded: one row per restricted host)
+            robots = parse_robots(robots_bodies).localCheckpoint()
+        delay_budgets = budgets_from_crawl_delay(
+            crawl_delays(robots_bodies), cfg.round_seconds
+        )
+        if budgets is None:
+            budgets = delay_budgets.localCheckpoint()
+        else:
+            # explicit budgets override per host; Crawl-delay fills the rest
+            budgets = budgets.unionByName(
+                delay_budgets.join(budgets.select("host"), "host", "left_anti")
+            ).localCheckpoint()
 
     # ---- resume or cold start -------------------------------------------
     last = store.last_committed() if resume else None
@@ -232,6 +309,14 @@ def run_crawl(
             if _os.path.exists(store.round_path(last, "retry"))
             else _empty(spark, QUEUE_SCHEMA)
         )
+        # checkpoint written before the priority column (legacy): every row
+        # ranked equal then, so 0 (the plain-link default) preserves order
+        if "priority" not in candidates.columns:
+            candidates = candidates.withColumn("priority", F.lit(0).cast("long"))
+        if "priority" not in deferred.columns:
+            deferred = deferred.withColumn("priority", F.lit(0).cast("long"))
+        if "priority" not in retry.columns:
+            retry = retry.withColumn("priority", F.lit(0).cast("long"))
         if bucketed:
             # legacy / cross-backend checkpoints: the table may be missing
             # committed rounds' keys — refill from seen_delta parquet first
@@ -257,6 +342,12 @@ def run_crawl(
         )
     else:
         candidates = seeds_to_candidates(seeds)
+        if robots_bodies is not None:
+            # Sitemap: pointers bootstrap the frontier alongside the seeds
+            # (cold start only — on resume they are already in the seen set)
+            candidates = candidates.unionByName(
+                sitemap_pointer_candidates(robots_bodies)
+            )
         deferred = _empty(spark, QUEUE_SCHEMA)
         retry = _empty(spark, QUEUE_SCHEMA)
         seen = None
@@ -388,7 +479,7 @@ def run_crawl(
             F.col("attempts") < F.lit(cfg.max_fetch_retries)
         ).select(
             "url", "url_sha1", "host", "path", "depth", "parent_url",
-            "link_pos", (F.col("attempts") + 1).alias("attempts"),
+            "link_pos", "priority", (F.col("attempts") + 1).alias("attempts"),
         )
 
         items_img = _items_schema_img(fetched, rnd)
@@ -431,7 +522,7 @@ def run_crawl(
             .filter(F.col("attempts") < F.lit(cfg.max_fetch_retries))
             .select(
                 "url", "url_sha1", "host", "path", "depth", "parent_url",
-                "link_pos", (F.col("attempts") + 1).alias("attempts"),
+                "link_pos", "priority", (F.col("attempts") + 1).alias("attempts"),
             )
         )
         retry_next = retry_next.unionByName(parse_retry)
@@ -465,7 +556,40 @@ def run_crawl(
             F.col("url").alias("parent_url"),
             (F.col("depth") + 1).cast("long").alias("depth"),  # analyzer.go:127
             F.posexplode(out_links).alias("link_pos", "url"),
-        ).select("url", "depth", "parent_url", F.col("link_pos").cast("long"))
+        ).select(
+            "url", "depth", "parent_url", F.col("link_pos").cast("long"),
+            F.lit(0).cast("long").alias("priority"),
+        )
+
+        # ---- sitemap bodies (Sitemaps protocol): index children re-enter
+        # admission as fetchable URLs, urlset entries as page candidates
+        # carrying their <priority>. Per-body projection (regex once per
+        # sitemap FILE); a crawl with no xml fetches pays an empty branch.
+        from ..sources.sitemap import parse_sitemaps, priority_units
+
+        xml_pages = fetched.filter(
+            (F.col("status") == 200)
+            & (F.col("content_type") == "application/xml")
+        ).select(
+            F.col("url").alias("_parent"),
+            F.col("depth").alias("_pdepth"),
+            "host",
+            F.decode(F.col("html"), "UTF-8").alias("body"),
+        )
+        sm = parse_sitemaps(xml_pages, carry_cols=("_parent", "_pdepth"))
+        sm_children = sm.select(
+            F.col("loc").alias("url"),
+            (F.col("_pdepth") + 1).cast("long").alias("depth"),
+            F.col("_parent").alias("parent_url"),
+            F.when(
+                F.col("kind") == "sitemap",
+                F.lit(SITEMAP_LINK_POS) + F.col("pos"),
+            ).otherwise(F.col("pos")).cast("long").alias("link_pos"),
+            F.when(
+                F.col("kind") == "sitemap", F.lit(SITEMAP_PRIORITY).cast("long")
+            ).otherwise(priority_units(F.col("priority"))).alias("priority"),
+        )
+        next_candidates = next_candidates.unionByName(sm_children)
 
         # per-partition lineage: which partitions produced how many fetched
         # rows this round (north_rule: per-partition lineage + metrics)

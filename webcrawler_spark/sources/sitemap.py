@@ -102,6 +102,38 @@ def parse_sitemaps(
     return blocks(_URL_BLOCK, "url").unionByName(blocks(_SMAP_BLOCK, "sitemap"))
 
 
+def parse_sitemaps_py(body: str) -> list[dict]:
+    """Plain-Python twin of :func:`parse_sitemaps` over one body (the
+    single-threaded crawl simulator's sitemap step, tests/oracle.py) —
+    the SAME module-level regexes, block positions, <loc> mandatory-ness
+    and priority defaulting, so engine and oracle can never drift."""
+    import re
+
+    out: list[dict] = []
+    for pattern, kind in ((_URL_BLOCK, "url"), (_SMAP_BLOCK, "sitemap")):
+        for pos, b in enumerate(re.findall(pattern, body)):
+            m = re.search(_LOC, b)
+            loc = m.group(1) if m else ""
+            if not loc:
+                continue
+            lm = re.search(_LASTMOD, b)
+            pr = re.search(_PRIORITY, b)
+            try:
+                prio = float(pr.group(1)) if pr else float(DEFAULT_PRIORITY)
+            except ValueError:
+                prio = float(DEFAULT_PRIORITY)
+            out.append(
+                {
+                    "kind": kind,
+                    "pos": pos,
+                    "loc": loc,
+                    "lastmod": lm.group(1) if lm else None,
+                    "priority": prio,
+                }
+            )
+    return out
+
+
 def sitemap_seeds(parsed: DataFrame) -> DataFrame:
     """kind='url' rows -> the (url, order, priority) seed shape the crawl
     consumes (plans.crawl.seeds_to_candidates; priority in integer frontier
