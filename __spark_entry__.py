@@ -1382,24 +1382,37 @@ def q_stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.drain_available_now(_token_stats_select(sdf))
 
 
-def q_stream_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl's admission hot path AS A STREAM — a continuously-fed
-    frontier (discovered links arriving as files) admitted incrementally:
-    the same candidate synthesis and filter expressions as
-    frontier_admission over STREAMING orders+lineitem sources, a
-    stream-static anti-join against the (static) seen set, then the
-    in-round dedup aggregate as the single stateful op (state = one row
-    per distinct url_sha1 — frontier-sized, not stream-sized). The
-    anti-join runs BEFORE dedup here (it must precede the stateful agg in
-    a stream); it commutes with winner selection — both orders drop the
-    same seen keys — so the drained result hash-matches the SAME batch
-    oracle SQL as frontier_admission."""
+def _stream_admission_winners(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+):
+    """Shared pipeline of the two streaming-admission surfaces: candidate
+    synthesis over STREAMING orders+lineitem sources, stateless admission
+    predicates, a stream-static anti-join against the (static) seen set,
+    then the in-round dedup aggregate as the single stateful op (state =
+    one row per distinct url_sha1 — frontier-sized, not stream-sized).
+    The anti-join runs BEFORE dedup here (it must precede the stateful agg
+    in a stream); it commutes with winner selection — both orders drop the
+    same seen keys — so the drained result matches the SAME batch oracle
+    SQL as frontier_admission.
+
+    The whitelist test is admission.whitelist_host_predicate — pure byte
+    scans, NO regex: the batch path's distinct-host semi-join (the other
+    way to keep java.util.regex off the per-row hot path) is an agg +
+    self-join, illegal before the stateful dedup in a stream; for a known
+    whitelist of registrable domains the suffix fold admits the identical
+    host set (property-tested against primary_domain)."""
     orders_b = _t(spark, sf_dir, "orders")
-    a = streaming.stream_table(spark, f"{sf_dir}/orders.parquet").select(
+    a = streaming.stream_table(
+        spark, f"{sf_dir}/orders.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    ).select(
         F.col("o_orderkey").alias("key"),
         (F.col("o_custkey") % 13).cast("long").alias("link_pos"),
     )
-    b = streaming.stream_table(spark, f"{sf_dir}/lineitem.parquet").select(
+    b = streaming.stream_table(
+        spark, f"{sf_dir}/lineitem.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    ).select(
         F.col("l_orderkey").alias("key"),
         (F.lit(100) + F.col("l_linenumber")).cast("long").alias("link_pos"),
     )
@@ -1416,25 +1429,54 @@ def q_stream_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("host", U.url_host_canonical(F.col("url")))
         .withColumn("path", U.url_path_canonical(F.col("url")))
     )
-    # stateless admission predicates: the batch path's distinct-host
-    # semi-join is an agg+self-join (a stream-stream join — not allowed
-    # before the stateful dedup), so the stream evaluates the SAME
-    # conjunction per row within each micro-batch; identical admitted set
     filt = cand.filter(
         (
             F.col("url").startswith("http://")
             | F.col("url").startswith("https://")
         )
-        & U.primary_domain(F.col("host")).isin(WHITELIST)
+        & admission.whitelist_host_predicate(F.col("host"), WHITELIST)
         & (F.col("depth") <= F.lit(5))
     )
     seen = orders_b.filter(F.col("o_orderkey") % 5 == 0).select(
         F.md5(_synth_url(F.col("o_orderkey"))).alias("url_sha1")
     )
     new = admission.anti_join_seen(filt, seen)
-    winners = admission.dedup_in_round(new)
+    return admission.dedup_in_round(new)
+
+
+_STREAM_ADMISSION_COLS = ["url", "host", "depth", "parent_url", "link_pos"]
+
+
+def q_stream_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's admission hot path AS A STREAM, drained in complete
+    mode (the oracle twin: full final state re-emitted, hash-matching the
+    batch frontier_admission SQL directly). Continuous deployments use the
+    update-mode drain (q_stream_admission_update) — complete mode rewrites
+    full state per trigger and is priced accordingly."""
+    winners = _stream_admission_winners(spark, sf_dir)
     out = streaming.drain_available_now(winners, output_mode="complete")
     return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        "parent_url", "link_pos",
+    )
+
+
+def q_stream_admission_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME streaming admission drained in UPDATE mode — the
+    continuous-operation surface: each trigger emits only keys whose
+    winner state changed, so a 10^10-key frontier never rewrites full
+    state per micro-batch. Per-key emissions are monotone under the
+    winner order (a key re-emits only when a strictly smaller
+    (depth, parent, link_pos) arrives), so the final state is recovered
+    by re-applying the same dedup aggregate over the drained emissions —
+    dedup-on-read, one tiny batch agg over the sink. Hash-matches the
+    SAME oracle as the complete-mode twin (same final state, proven by
+    construction and by the multi-micro-batch test in
+    tests/test_streaming.py)."""
+    winners = _stream_admission_winners(spark, sf_dir)
+    drained = streaming.drain_available_now(winners, output_mode="update")
+    merged = admission.dedup_in_round(drained)
+    return merged.select(
         "url", "host", F.col("depth").cast("long").alias("depth"),
         "parent_url", "link_pos",
     )
@@ -2508,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_token_stats": q_stream_token_stats,
         "stream_dedup_counts": q_stream_dedup_counts,
         "stream_frontier_admission": q_stream_frontier_admission,
+        "stream_admission_update": q_stream_admission_update,
         "stream_events_window": q_stream_events_window,
         "events_sessionize": q_events_sessionize,
         "pagerank": q_pagerank,
@@ -2666,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "stream_frontier_admission": _sql_frontier_admission(),
+        "stream_admission_update": _sql_frontier_admission(),
         "stream_events_window": _sql_events_window(),
         "events_sessionize": _sql_events_sessionize(),
         "pagerank": _sql_pagerank(),

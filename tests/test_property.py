@@ -52,3 +52,41 @@ def test_random_graph_engine_equals_oracle(spark, tmp_path, seed):
         for r in result.seen(spark).collect()
     }
     assert engine_seen == golden.seen, seed
+
+
+def test_whitelist_predicate_equals_primary_domain_membership(spark):
+    """admission.whitelist_host_predicate (the regex-free streaming-path
+    whitelist test) must admit EXACTLY the hosts primary_domain().isin(wl)
+    admits, for whitelists of registrable domains — swept over every
+    label/suffix combination around the fixture whitelist."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.functions import urls as U
+    from webcrawler_spark.operators.admission import whitelist_host_predicate
+
+    wl = ["bml365.com", "example.com.cn", "example.net", "example.me"]
+    labels = ["", "a", "www", "shop.x", "bml365", "example", "net",
+              "xexample", "example.net", "bml365.com"]
+    cores = ["bml365", "example", "xbml365", "bml365x", "com", "net"]
+    suffixes = ["com", "com.cn", "net", "net.cn", "me", "org", "cn", "dev",
+                "co", "com."]
+    hosts = []
+    for lab in labels:
+        for core in cores:
+            for suf in suffixes:
+                h = f"{core}.{suf}" if not lab else f"{lab}.{core}.{suf}"
+                hosts.append(h)
+    hosts += ["", "bml365.com", ".bml365.com", "bml365.com.", "nosuffix",
+              "example.net.example.net", "a.example.net.cn"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = df.select(
+        "host",
+        F.coalesce(
+            whitelist_host_predicate(F.col("host"), wl), F.lit(False)
+        ).alias("fast"),
+        F.coalesce(
+            U.primary_domain(F.col("host")).isin(wl), F.lit(False)
+        ).alias("ref"),
+    ).collect()
+    diffs = [(r["host"], r["fast"], r["ref"]) for r in got if r["fast"] != r["ref"]]
+    assert not diffs, f"{len(diffs)} mismatches, first: {diffs[:5]}"

@@ -200,6 +200,58 @@ class TestStreamIngest:
             assert want[key] == (r["n_events"], r["sum_value"])
 
 
+    def test_admission_update_mode_merges_to_complete_state(self, spark, tmp_path):
+        """UPDATE-mode drain (the continuous-operation surface): per-batch
+        emissions of changed winners, merged by re-applying the dedup
+        aggregate over the sink, must equal the complete-mode final state —
+        across micro-batches that keep improving the same key's winner."""
+        from webcrawler_spark.operators import admission
+
+        # three files, each improving /a's winner (forces a re-emission per
+        # micro-batch) plus unique keys per batch
+        batches = [
+            [("http://www.example.com/a", 5, "http://p9", 9),
+             ("http://www.example.com/b", 0, None, 1)],
+            [("http://www.example.com/a", 3, "http://p5", 5),
+             ("http://www.example.com/c", 2, None, 2)],
+            [("http://www.example.com/a", 1, "http://p1", 1),
+             ("http://www.example.com/seen", 0, None, 2)],
+        ]
+        path = str(tmp_path / "cand_upd")
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "url string, depth long, parent_url string, link_pos long"
+            ).coalesce(1).write.mode("append").parquet(path)
+
+        def pipeline(cand):
+            cand = (
+                cand.withColumn("url_sha1", F.md5(F.col("url")))
+                .withColumn("host", F.lit("www.example.com"))
+                .withColumn("path", F.expr("substring(url, 23)"))
+            )
+            seen = spark.createDataFrame(
+                [("http://www.example.com/seen",)], "u string"
+            ).select(F.md5(F.col("u")).alias("url_sha1"))
+            return admission.dedup_in_round(
+                admission.anti_join_seen(cand, seen)
+            )
+
+        sdf = streaming.stream_table(spark, path, max_files_per_trigger=1)
+        drained = streaming.drain_available_now(
+            pipeline(sdf), output_mode="update"
+        )
+        # multi-batch proof: /a was re-emitted at least twice (update mode
+        # emits every winner improvement), so the raw sink holds duplicates
+        raw = drained.collect()
+        a_emissions = [r for r in raw if r["url"].endswith("/a")]
+        assert len(a_emissions) >= 2
+        merged = sorted(map(tuple, admission.dedup_in_round(drained).collect()))
+        want = sorted(map(tuple, pipeline(spark.read.parquet(path)).collect()))
+        assert merged == want
+        winner = [r for r in merged if r[1].endswith("/a")][0]
+        assert winner[4] == 1 and winner[5] == "http://p1"
+
+
 class TestSessionize:
     def test_batch_sessions(self, events_df):
         got = {

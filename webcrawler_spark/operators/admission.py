@@ -154,6 +154,29 @@ def rule_matches(path, r) -> "F.Column":
     return path.startswith(s0) & (pos_after > 0) & tail_ok
 
 
+def whitelist_host_predicate(host, whitelist: list[str]) -> "F.Column":
+    """Regex-free whitelist membership for a KNOWN whitelist: the fold
+    ``host == d OR host.endswith("." + d)`` over the entries — pure byte
+    scans inside codegen, no java.util.regex Matcher per row and no
+    distinct-host aggregate, so it is legal BEFORE a stateful streaming op
+    (where the batch path's distinct-host semi-join — an agg + self-join —
+    is not).
+
+    Equivalent to ``primary_domain(host).isin(whitelist)`` (the
+    scheduler.go:555 membership test) whenever every whitelist entry is
+    itself a registrable domain under the suffix table — which is the
+    crawl's invariant: whitelists are built FROM ``primary_domain`` of
+    seed hosts (scheduler/scheduler.go:126-131 builds the domain list the
+    same way). Property-tested against the regex path in
+    tests/test_property.py. Not for IP-address or bare-suffix entries
+    (``10.0.0.1``, ``com.cn``) — those need the exact primary_domain path.
+    """
+    out = F.lit(False)
+    for d in whitelist:
+        out = out | (host == F.lit(d)) | host.endswith("." + d)
+    return out
+
+
 def admission_filters(
     cand: DataFrame,
     whitelist: list[str],
