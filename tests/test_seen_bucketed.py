@@ -227,3 +227,29 @@ def test_crawl_bucketed_matches_parquet_backend(spark, fixture_web, tmp_path):
         return order, seen
 
     assert run("bucketed") == run("parquet")
+
+
+def test_ensure_seen_table_repairs_stale_catalog_location(spark, store):
+    """ADVICE fix (crash window with a persistent metastore): a compaction
+    that advanced the location pointer in _store_meta.json but died before
+    re-pointing the catalog leaves the registered table at the OLD
+    directory — which _clean_stale_seen_dirs deletes on the next start, so
+    without the repair the table silently reads EMPTY. ensure_seen_table
+    must detect the location mismatch and DROP/re-CREATE at the committed
+    pointer."""
+    import shutil
+
+    store.pin_backend("bucketed")
+    store.ensure_seen_table(spark, 4)
+    store.append_seen_bucketed(_keys(spark, 0, 20), 0)
+    assert store.read_seen_bucketed(spark, upto=0).count() == 20
+
+    # simulate the crashed compaction: data rewritten into the v1 dir and
+    # the meta pointer advanced, catalog still registered at v0
+    shutil.copytree(store._seen_location(0), store._seen_location(1))
+    meta = store._read_meta()
+    meta["seen_location_v"] = 1
+    store._write_meta(meta)
+
+    store.ensure_seen_table(spark, 4)  # restart-time re-registration
+    assert store.read_seen_bucketed(spark, upto=0).count() == 20

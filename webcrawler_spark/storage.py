@@ -283,9 +283,45 @@ class RoundStore:
             meta["seen_provider"] = provider
             self._write_meta(meta)
         self._seen_buckets = n_buckets
+        self._drop_if_location_stale(spark)
         self._clean_stale_seen_dirs()
         spark.sql(self.seen_table_ddl(n_buckets, provider))
         return self.seen_table
+
+    def _drop_if_location_stale(self, spark: SparkSession) -> None:
+        """Crash-window repair for persistent metastores: a compaction
+        commits by advancing the location pointer in _store_meta.json, then
+        re-points the catalog entry. If the process dies between the two,
+        a persistent (Hive/Iceberg) catalog still registers the OLD
+        directory — which _clean_stale_seen_dirs is about to delete, so
+        CREATE IF NOT EXISTS would be a no-op and the table would read
+        EMPTY. Compare the registered location to the committed pointer
+        and DROP on mismatch so the re-CREATE registers the right one.
+        (A no-op with the default session-scoped in-memory catalog, where
+        a dead session takes its registrations with it.)"""
+        try:
+            if not spark.catalog.tableExists(self.seen_table):
+                return
+            rows = (
+                spark.sql(f"DESCRIBE FORMATTED {self.seen_table}")
+                .filter("col_name = 'Location'")
+                .collect()
+            )
+            registered = rows[0]["data_type"] if rows else None
+        except Exception:
+            return  # unreadable metadata: let the DDL below surface it
+        if registered is None:
+            return
+
+        def _norm(p: str) -> str:
+            for scheme in ("file://", "file:"):
+                if p.startswith(scheme):
+                    p = p[len(scheme):]
+                    break
+            return "/" + p.strip("/")
+
+        if _norm(registered) != _norm(self._seen_location()):
+            spark.sql(f"DROP TABLE IF EXISTS {self.seen_table}")
 
     def _clean_stale_seen_dirs(self) -> None:
         """Remove seen-table directories whose version is not the committed
@@ -306,13 +342,18 @@ class RoundStore:
         """Data files per bucket in the current seen location — each
         append_seen_bucketed adds one file per bucket, so this grows one
         per committed round until compaction rewrites it. A local listing
-        (one LIST call on an object store); no Spark job."""
+        (one recursive LIST on an object store); no Spark job. The glob is
+        RECURSIVE so both physical layouts count: the parquet datasource
+        writes part-* directly under the location, Iceberg writes them
+        under data/<partition>/ subdirectories."""
         import glob as _glob
 
         n = getattr(self, "_seen_buckets", None) or int(
             self._read_meta().get("seen_buckets", 1) or 1
         )
-        files = _glob.glob(os.path.join(self._seen_location(), "part-*"))
+        files = _glob.glob(
+            os.path.join(self._seen_location(), "**", "part-*"), recursive=True
+        )
         return len(files) / max(1, n)
 
     def compact_seen_bucketed(self, spark: SparkSession, upto: int) -> str:
