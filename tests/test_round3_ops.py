@@ -331,3 +331,28 @@ def test_asof_join_semantics(spark):
     assert got[100] == (9, 2.5)    # tie at :05 -> max-id right row
     assert got[101] == (11, 3.5)   # latest <= :10
     assert got[102] == (None, None)  # user 2 has no purchases
+
+
+def test_pagerank_early_stop_is_output_identical(spark):
+    """The convergence probe breaks only at an exact integer fixed point,
+    so early_stop=True must be bit-identical to running every iteration —
+    and a converged run at a huge iteration budget equals the plain one."""
+    n = 12
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)] + [(0, 5), (3, 7)],
+        "src: long, dst: long",
+    )
+
+    def run(iters, early_stop):
+        return sorted(
+            (r["node"], r["rank_units"])
+            for r in graph.pagerank(
+                nodes, edges, n, iters=iters, early_stop=early_stop
+            ).collect()
+        )
+
+    assert run(6, True) == run(6, False)
+    # integer quantization reaches an exact fixed point well before 60
+    # iterations on 12 nodes; the early-stopped run must land on it too
+    assert run(60, True) == run(60, False)

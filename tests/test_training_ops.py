@@ -477,3 +477,19 @@ class TestMultimodal:
         assert idxs == [0, 10, 20]
         ts = {r["frame_idx"]: r["frame_ts_s"] for r in out}
         assert ts[10] == round(10 / 30.0, 4)
+
+
+def test_kmeans_early_stop_fixed_point(spark):
+    """Two tight, well-separated pairs converge after 2 Lloyd updates; the
+    free driver-side probe must make any larger n_iters return the
+    identical centroid table (no behavior change, just fewer scans)."""
+    from webcrawler_spark.operators import similarity
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [1.0, 0.01]), (3, [0.01, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    c2 = similarity.kmeans_centroids(emb, n_centroids=2, n_iters=2)
+    c10 = similarity.kmeans_centroids(emb, n_centroids=2, n_iters=10)
+    assert c2 == c10

@@ -73,6 +73,7 @@ def pagerank(
     iters: int = 5,
     id_col: str = "node",
     checkpoint: bool = True,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Integer-unit PageRank; returns (id_col, rank_units: long).
 
@@ -80,6 +81,14 @@ def pagerank(
     the node count (pass it in — callers already know it; avoids a count
     job here). All arithmetic integer (see module docstring), so results
     are engine-exact and iteration-order-free.
+
+    ``early_stop``: the integer update is a pure function of the rank
+    vector, so two consecutive IDENTICAL vectors are an exact fixed point
+    — every remaining iteration would recompute the same frame. The probe
+    (an equi-join + limit-1 existence scan over two checkpointed
+    integer columns) runs every 2nd iteration, the same amortized
+    discipline as dedup.duplicate_clusters; output is bit-identical with
+    or without it, converged inputs just skip the tail iterations.
     """
     base = UNIT // n  # uniform start mass per node, in 1e-9 units
     outdeg = edges.groupBy("src").agg(F.count("*").alias("k"))
@@ -92,7 +101,8 @@ def pagerank(
         outdeg = outdeg.localCheckpoint()
         edges = edges.localCheckpoint()
 
-    for _ in range(iters):
+    prev = None
+    for it in range(iters):
         # scalar dangling mass -> 1-row frame, broadcast-cross-joined back
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
@@ -121,5 +131,22 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()
+
+        if (
+            early_stop
+            and prev is not None
+            and it % 2 == 1
+            and it + 1 < iters
+        ):
+            changed = (
+                ranks.alias("a")
+                .join(prev.alias("b"), "node")
+                .filter(F.col("a.r") != F.col("b.r"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+        prev = ranks
 
     return ranks.select(F.col("node").alias(id_col), F.col("r").alias("rank_units"))

@@ -183,6 +183,13 @@ def kmeans_centroids(
     Ties (equal rounded cosine) break toward the LOWEST cid, mirroring
     the oracle's ``ORDER BY score DESC, cid ASC``.
 
+    Early stop: Lloyd's is a fixed-point iteration and the 6-dp rounding
+    makes the fixed point exact — once an update returns the SAME centroid
+    table, every further iteration recomputes it identically. The
+    convergence probe is FREE here (the updated centroids are already on
+    the driver each iteration — that is how MLlib broadcasts them too), so
+    a converged input skips the remaining scans without changing output.
+
     Returns the trained centroids as ``[(cid, [double, ...]), ...]``
     (driver-side — they ARE small); feed to :func:`topk_ivf` via
     ``centroids=``.
@@ -211,10 +218,13 @@ def kmeans_centroids(
             ])
             .collect()
         )
-        cents = sorted(
+        new_cents = sorted(
             (int(r["cid"]), [float(r[f"c{i}"]) for i in range(dim)])
             for r in rows
         )
+        if new_cents == cents:  # exact fixed point (6-dp quantized)
+            break
+        cents = new_cents
     return cents
 
 
