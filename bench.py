@@ -142,8 +142,16 @@ def main() -> None:
         "sample_temperature",
         "stream_frontier_admission",
     ]
+    # round-5 additions: discovery-loop extraction, priority politeness,
+    # update-mode streaming admission
+    suite_r5 = [
+        "robots_sitemaps",
+        "crawl_delay_budget",
+        "politeness_priority",
+        "stream_admission_update",
+    ]
     qs = entrymod.queries()
-    for name in suite + suite_r3 + suite_r4:
+    for name in suite + suite_r3 + suite_r4 + suite_r5:
         # best of 2: the first execution of a unique plan pays 2-5s of JVM
         # codegen/JIT that amortizes away at scale (and in any long-lived
         # session); the steady-state number is the honest per-query cost
