@@ -71,13 +71,18 @@ def _pages() -> list[dict]:
     return pages
 
 
-def _run_engine(spark, tmp_path, pages, budgets_rows=None, max_depth=4):
+def _run_engine(spark, tmp_path, pages, budgets_rows=None, max_depth=4,
+                from_pages=False):
     pages_df = spark.createDataFrame(
         [(p["url"], bytearray(p["html"])) for p in pages], "url string, html binary"
     )
     seeds_df = spark.createDataFrame([], "url string, order long")
-    robots_bodies = spark.createDataFrame(
-        [(HOT_HOST, ROBOTS_BODY)], "host string, body string"
+    robots_bodies = (
+        None
+        if from_pages
+        else spark.createDataFrame(
+            [(HOT_HOST, ROBOTS_BODY)], "host string, body string"
+        )
     )
     budgets_df = (
         spark.createDataFrame(budgets_rows, "host string, budget_per_round long")
@@ -85,7 +90,7 @@ def _run_engine(spark, tmp_path, pages, budgets_rows=None, max_depth=4):
         else None
     )
     cfg = CrawlConfig(whitelist=WHITELIST, max_depth=max_depth, max_rounds=12,
-                      parsers="generic")
+                      parsers="generic", robots_from_pages=from_pages)
     return run_crawl(
         spark, pages_df, seeds_df, cfg,
         checkpoint_dir=str(tmp_path / "ckpt"),
@@ -168,6 +173,26 @@ def test_explicit_budget_overrides_crawl_delay(spark, tmp_path):
     _assert_match(spark, golden, result)
     per_round = result.order(spark).groupBy("round").count().collect()
     assert max(r["count"] for r in per_round) > 2  # the override engaged
+
+
+def test_robots_from_pages_self_configures_the_crawl(spark, tmp_path):
+    """robots_from_pages=True: the corpus's own scheme://host/robots.txt
+    row supplies rules, Crawl-delay budget AND the Sitemap bootstrap — no
+    side channel at all (pages table + empty seeds in, full crawl out),
+    identical to passing the same body via robots_bodies and to the
+    oracle."""
+    pages = _pages() + [
+        {"url": f"http://{HOT_HOST}/robots.txt", "html": ROBOTS_BODY.encode()},
+        # decoy: a deeper path named robots.txt must NOT configure the host
+        {"url": f"http://{HOT_HOST}/a/robots.txt",
+         "html": b"User-agent: *\nDisallow: /\n"},
+    ]
+    result = _run_engine(spark, tmp_path, pages, from_pages=True)
+    golden = _run_oracle(pages, budgets={HOT_HOST: 2})
+    _assert_match(spark, golden, result)
+    fetched_urls = {r["url"] for r in result.order(spark).collect()}
+    for u in LEAVES:
+        assert (u in fetched_urls) == ("/private/" not in u)
 
 
 def test_depth_limit_applies_to_sitemap_chain(spark, tmp_path):

@@ -133,6 +133,11 @@ class CrawlConfig:
     # queued (drop-forever — politeness only PACES fetches, it cannot stop
     # a trap host from growing the frontier without bound) and surfaces as
     # error rows (stage='admission', message='host_cap'). None = off.
+    robots_from_pages: bool = False      # self-configure from the corpus:
+    # derive robots_bodies from the pages table's own
+    # scheme://host/robots.txt rows (robots_bodies_from_pages) — rules,
+    # Crawl-delay budgets, and Sitemap bootstrap with no side channel.
+    # An explicit robots_bodies argument wins.
     round_seconds: float = 60.0          # polite wall-clock a round models;
     # with robots_bodies, hosts declaring `Crawl-delay: d` default to
     # budget_per_round = max(1, floor(round_seconds / d)) unless the caller's
@@ -179,6 +184,36 @@ def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
         F.lit("").alias("parent_url"),
         F.col("order").cast("long").alias("link_pos"),
         prio.alias("priority"),
+    )
+
+
+def robots_bodies_from_pages(pages: DataFrame) -> DataFrame:
+    """Extract (host, body) robots.txt rows from the pages table itself —
+    a 100-TB WARC-derived corpus carries each host's robots.txt as just
+    another fetched row at ``scheme://host/robots.txt``, so a crawl over
+    that corpus can self-configure (rules, Crawl-delay budgets, Sitemap
+    pointers) with ONE column-pruned scan instead of a side channel.
+
+    The filter is an exact path match (url == scheme://host + "/robots.txt"
+    — RFC 9309 §2.3: the file lives ONLY at the path-root), expressed as
+    byte scans (endswith + a length check against the host window) so the
+    scan stays a pushdown-friendly codegen'd projection. Bodies decode as
+    UTF-8 with replacement (undecodable bytes become U+FFFD line noise the
+    field parser ignores — never a task failure)."""
+    url = F.col("url")
+    rest = U.url_rest_canonical(url)  # host[/path...]
+    is_robots = url.endswith("/robots.txt") & (
+        F.length(rest)
+        == F.length(F.substring_index(rest, "/", 1))
+        + F.length(F.lit("/robots.txt"))
+    )
+    return (
+        pages.select("url", "html")
+        .filter(is_robots)
+        .select(
+            U.url_host_canonical(url).alias("host"),
+            F.decode(F.col("html"), "UTF-8").alias("body"),
+        )
     )
 
 
@@ -266,6 +301,10 @@ def run_crawl(
             spark, cfg.seen_buckets or spark.sparkContext.defaultParallelism
         )
 
+    if robots_bodies is None and cfg.robots_from_pages:
+        # one column-pruned scan; bounded (one row per host) so the
+        # checkpoint keeps the robots scan out of every derived plan
+        robots_bodies = robots_bodies_from_pages(pages).localCheckpoint()
     if robots_bodies is not None:
         from ..sources.robots import (
             budgets_from_crawl_delay,
