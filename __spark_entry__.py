@@ -2275,6 +2275,40 @@ def _robots_discovery_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl selection: sitemap <lastmod> vs the
+    corpus's last-crawl date — never-crawled URLs ('new') plus URLs whose
+    site-declared lastmod postdates the crawl ('stale'), with sitemap
+    priority carried in frontier units. The DuckDB twin synthesizes the
+    expected set from the same arithmetic (independent oracle)."""
+    from webcrawler_spark.sources.sitemap import recrawl_candidates
+
+    parsed = q_sitemap_parse(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    crawled = orders.filter(okey % 2 == 0).select(
+        F.concat(
+            F.lit("http://h"), okey % 50, F.lit(".example.com/o/"), okey
+        ).alias("url"),
+        F.lit("2024-01-15").cast("date").alias("last_crawl"),
+    )
+    out = recrawl_candidates(parsed, crawled)
+    return out.select("url", "reason", F.col("priority").cast("long").alias("priority"))
+
+
+def _sql_sitemap_recrawl() -> str:
+    return """
+SELECT 'http://h' || (o_orderkey % 50)::VARCHAR || '.example.com/o/' ||
+       o_orderkey::VARCHAR AS url,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'new' ELSE 'stale' END AS reason,
+       (CASE WHEN o_orderkey % 4 = 0 THEN ((o_orderkey % 9) + 1) * 10
+             ELSE 50 END)::BIGINT AS priority
+FROM orders
+WHERE o_orderkey % 2 = 1
+   OR (o_orderkey % 3 = 0 AND (o_orderkey % 28) + 1 > 15)
+"""
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.3 `Sitemap:` extraction — group-independent (lines in
     the decoy group and the * group both count), absolute-URL values kept
@@ -2525,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_budget": q_crawl_delay_budget,      # NEW r5
         "politeness_priority": q_politeness_priority,    # NEW r5
         "stream_admission_update": q_stream_admission_update,  # NEW r5
+        "sitemap_recrawl": q_sitemap_recrawl,            # NEW r5
         "sitemap_parse": q_sitemap_parse,                # + pos column
         "stream_frontier_admission": q_stream_frontier_admission,  # regex-free
         "frontier_admission": q_frontier_admission,      # dedup priority agg
@@ -2595,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _sql_robots_sitemaps(),
         "crawl_delay_budget": _sql_crawl_delay_budget(),
         "politeness_priority": _sql_politeness_priority(),
+        "sitemap_recrawl": _sql_sitemap_recrawl(),
         "frontier_admission": _sql_frontier_admission(),
         "seed_list_decode": """
             WITH src AS (

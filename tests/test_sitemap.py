@@ -1,6 +1,8 @@
 """Sitemaps-protocol source (sources/sitemap.py): urlset + index parsing,
 priority defaulting, seed ordering."""
 
+from pyspark.sql import functions as F
+
 from webcrawler_spark.sources.sitemap import parse_sitemaps, sitemap_seeds
 
 URLSET = """<?xml version="1.0" encoding="UTF-8"?>
@@ -101,3 +103,44 @@ def test_seed_dedup_across_sitemaps_takes_max_priority(spark):
     assert seeds[0]["url"] == "http://www.example.com/d"
     assert seeds[0]["order"] == 0
     assert seeds[0]["priority"] == 80
+
+
+def test_recrawl_candidates_rules(spark):
+    """new / stale / fresh / no-evidence quadrants, date-only and full
+    W3C lastmod, unparsable lastmod, and duplicate listings collapsing to
+    max(lastmod, priority)."""
+    from webcrawler_spark.sources.sitemap import recrawl_candidates
+
+    def u(body):
+        return f"<urlset>{body}</urlset>"
+
+    bodies = [
+        ("example.com", u(
+            "<url><loc>http://e/new</loc><priority>0.9</priority></url>"
+            "<url><loc>http://e/stale</loc><lastmod>2024-02-10</lastmod></url>"
+            "<url><loc>http://e/fresh</loc><lastmod>2024-01-01</lastmod></url>"
+            "<url><loc>http://e/noev</loc></url>"
+            "<url><loc>http://e/badmod</loc><lastmod>soonish</lastmod></url>"
+            "<url><loc>http://e/dup</loc><lastmod>2024-01-01</lastmod>"
+            "<priority>0.2</priority></url>"
+        )),
+        ("example.com", u(
+            "<url><loc>http://e/dup</loc><lastmod>2024-03-01T05:00:00</lastmod>"
+            "<priority>0.6</priority></url>"
+        )),
+    ]
+    parsed = _parse(spark, bodies)
+    crawled = spark.createDataFrame(
+        [("http://e/stale", "2024-02-01"), ("http://e/fresh", "2024-02-01"),
+         ("http://e/noev", "2024-02-01"), ("http://e/badmod", "2024-02-01"),
+         ("http://e/dup", "2024-02-01")],
+        "url string, last_crawl string",
+    ).select("url", F.col("last_crawl").cast("date").alias("last_crawl"))
+    got = {r["url"]: (r["reason"], r["priority"])
+           for r in recrawl_candidates(parsed, crawled).collect()}
+    assert got == {
+        "http://e/new": ("new", 90),
+        "http://e/stale": ("stale", 50),
+        # dup: max lastmod 2024-03-01 > 2024-02-01; max priority 0.6 -> 60
+        "http://e/dup": ("stale", 60),
+    }

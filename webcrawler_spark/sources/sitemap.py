@@ -102,6 +102,63 @@ def parse_sitemaps(
     return blocks(_URL_BLOCK, "url").unionByName(blocks(_SMAP_BLOCK, "sitemap"))
 
 
+def recrawl_candidates(
+    parsed: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "last_crawl",
+) -> DataFrame:
+    """Freshness-driven recrawl selection: sitemap ``<lastmod>`` vs the
+    crawl's last-fetch time — the scheduling loop a continuously-refreshed
+    100-TB corpus runs daily (fetch sitemaps cheaply, refetch only pages
+    the site declares changed plus pages never crawled).
+
+    ``parsed``: parse_sitemaps output (kind='url' rows used).
+    ``crawled``: (url, last_crawl date/timestamp) — e.g. max(warc_ts) per
+    url from the pages corpus, or the order table's round times.
+
+    Rule (date granularity — sitemaps.org allows date-only lastmod, so
+    finer comparison would fabricate precision): recrawl iff never crawled
+    (reason='new'), or lastmod parses AND lastmod > last_crawl's date
+    (reason='stale'). Unparsable/absent lastmod on a crawled URL = no row
+    (the protocol gives no evidence of change). Duplicated listings
+    collapse to MAX(lastmod, priority) first, so output is one row per
+    URL. Plan: one groupBy(url) + one left join on url (sort-merge at
+    scale; broadcast when the crawled dim is small) — nothing quadratic.
+    Output: (url, reason, priority) with priority in frontier units, ready
+    for seeds_to_candidates/admission."""
+    urls = (
+        parsed.filter(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("_u"))
+        .agg(
+            F.max(F.col("lastmod").try_cast("date")).alias("_lastmod"),
+            F.max("priority").alias("_prio"),
+        )
+    )
+    crawled_dim = crawled.select(
+        F.col(url_col).alias("_u"),
+        F.col(ts_col).cast("date").alias("_crawled"),
+    ).groupBy("_u").agg(F.max("_crawled").alias("_crawled"))
+    j = urls.join(crawled_dim, on="_u", how="left")
+    reason = (
+        F.when(F.col("_crawled").isNull(), F.lit("new"))
+        .when(
+            F.col("_lastmod").isNotNull()
+            & (F.col("_lastmod") > F.col("_crawled")),
+            F.lit("stale"),
+        )
+    )
+    return (
+        j.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select(
+            F.col("_u").alias("url"),
+            "reason",
+            priority_units(F.col("_prio")).alias("priority"),
+        )
+    )
+
+
 def parse_sitemaps_py(body: str) -> list[dict]:
     """Plain-Python twin of :func:`parse_sitemaps` over one body (the
     single-threaded crawl simulator's sitemap step, tests/oracle.py) —
