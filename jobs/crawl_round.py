@@ -3,7 +3,8 @@ spark-submit --py-files on a multi-executor cluster").
 
 Usage:
     spark-submit --py-files webcrawler_spark.zip jobs/crawl_round.py \
-        --pages PATH --seeds PATH [--robots PATH] --checkpoint DIR \
+        --pages PATH --seeds PATH [--robots PATH] \
+        [--robots-bodies PATH | --robots-from-pages] --checkpoint DIR \
         [--whitelist d1,d2] [--max-depth 3] [--max-rounds 20] [--resume]
 
 All engine state lives in the checkpoint dir (per-round atomic manifests),
@@ -24,6 +25,16 @@ def main() -> None:
     ap.add_argument("--pages", required=True)
     ap.add_argument("--seeds", required=True)
     ap.add_argument("--robots", default=None)
+    ap.add_argument("--robots-bodies", default=None,
+                    help="parquet of raw (host, body) robots.txt rows: "
+                         "derives admission rules, Crawl-delay budgets and "
+                         "the Sitemap: frontier bootstrap")
+    ap.add_argument("--robots-from-pages", action="store_true",
+                    help="self-configure from the pages table's own "
+                         "scheme://host/robots.txt rows (no side channel)")
+    ap.add_argument("--round-seconds", type=float, default=60.0,
+                    help="polite wall-clock one round models (Crawl-delay "
+                         "d => floor(round_seconds/d) fetch slots)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--whitelist", default=None,
                     help="comma-separated primary domains; default: fixtures.WHITELIST")
@@ -51,6 +62,9 @@ def main() -> None:
     pages = spark.read.parquet(args.pages)
     seeds = spark.read.parquet(args.seeds)
     budgets = robots = None
+    robots_bodies = (
+        spark.read.parquet(args.robots_bodies) if args.robots_bodies else None
+    )
     if args.robots:
         robots_df = spark.read.parquet(args.robots)
         budgets = robots_df.select("host", "budget_per_round")
@@ -69,10 +83,13 @@ def main() -> None:
         max_fetch_retries=args.max_fetch_retries,
         seen_backend=args.seen_backend,
         seen_buckets=args.seen_buckets,
+        robots_from_pages=args.robots_from_pages,
+        round_seconds=args.round_seconds,
     )
     result = run_crawl(
         spark, pages, seeds, cfg, checkpoint_dir=args.checkpoint,
-        budgets=budgets, robots=robots, resume=args.resume,
+        budgets=budgets, robots=robots, robots_bodies=robots_bodies,
+        resume=args.resume,
     )
     print(json.dumps({"rounds": result.rounds, "metrics": result.metrics}))
     spark.stop()
