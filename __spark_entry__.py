@@ -1444,9 +1444,6 @@ def _stream_admission_winners(
     return admission.dedup_in_round(new)
 
 
-_STREAM_ADMISSION_COLS = ["url", "host", "depth", "parent_url", "link_pos"]
-
-
 def q_stream_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl's admission hot path AS A STREAM, drained in complete
     mode (the oracle twin: full final state re-emitted, hash-matching the
