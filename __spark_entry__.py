@@ -2272,6 +2272,65 @@ def _robots_discovery_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed WARC SINK, proven through its own reader: pages
+    synthesized from orders are exported as Common-Crawl-layout archives
+    (range-partitioned, per-record gzip members, clock-free) and read
+    back; the DuckDB twin synthesizes the expected records from the same
+    arithmetic — if partitioning, record framing, HTTP splitting or the
+    gzip member loop dropped or mangled anything, the hash breaks."""
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.sources import warc
+
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    pages = orders.filter(okey % 7 == 0).select(
+        F.concat(
+            F.lit("http://h"), okey % 9, F.lit(".example.com/o/"), okey,
+            F.when(okey % 3 == 0, F.lit(".jpg")).otherwise(F.lit(".html")),
+        ).alias("url"),
+        F.lit("2024-02-03 04:05:06").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("body-of-"), okey, F.lit("-"),
+                     F.repeat(F.lit("x"), (okey % 50).cast("int"))),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        warc.write_warc_sink(pages, out_dir, files=8).collect()  # export
+        back = warc.read_warc(spark, out_dir)
+        return (
+            back.select(
+                "url",
+                "mime",
+                F.col("http_status").cast("long").alias("http_status"),
+                F.length("body").cast("long").alias("body_len"),
+                F.col("warc_date").alias("warc_date"),
+            )
+            .localCheckpoint()  # materialize BEFORE the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _sql_warc_roundtrip() -> str:
+    return """
+SELECT 'http://h' || (o_orderkey % 9)::VARCHAR || '.example.com/o/' ||
+       o_orderkey::VARCHAR ||
+       CASE WHEN o_orderkey % 3 = 0 THEN '.jpg' ELSE '.html' END AS url,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'image/jpeg'
+            ELSE 'text/html' END AS mime,
+       200::BIGINT AS http_status,
+       (8 + length(o_orderkey::VARCHAR) + 1 + (o_orderkey % 50))::BIGINT
+         AS body_len,
+       '2024-02-03T04:05:06Z' AS warc_date
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl selection: sitemap <lastmod> vs the
     corpus's last-crawl date — never-crawled URLs ('new') plus URLs whose
@@ -2557,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_priority": q_politeness_priority,    # NEW r5
         "stream_admission_update": q_stream_admission_update,  # NEW r5
         "sitemap_recrawl": q_sitemap_recrawl,            # NEW r5
+        "warc_roundtrip": q_warc_roundtrip,              # NEW r5 (sink)
         "sitemap_parse": q_sitemap_parse,                # + pos column
         "stream_frontier_admission": q_stream_frontier_admission,  # regex-free
         "frontier_admission": q_frontier_admission,      # dedup priority agg
@@ -2628,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delay_budget": _sql_crawl_delay_budget(),
         "politeness_priority": _sql_politeness_priority(),
         "sitemap_recrawl": _sql_sitemap_recrawl(),
+        "warc_roundtrip": _sql_warc_roundtrip(),
         "frontier_admission": _sql_frontier_admission(),
         "seed_list_decode": """
             WITH src AS (

@@ -356,3 +356,48 @@ def test_pagerank_early_stop_is_output_identical(spark):
     # integer quantization reaches an exact fixed point well before 60
     # iterations on 12 nodes; the early-stopped run must land on it too
     assert run(60, True) == run(60, False)
+
+
+# -------------------------------------------------------- warc sink ----
+
+def test_warc_sink_roundtrip_and_determinism(spark, tmp_path):
+    """Distributed WARC export: read_warc(write_warc_sink(pages)) must
+    reproduce every (url, date, mime, body) exactly; two exports of the
+    same input are byte-identical file-for-file (deterministic
+    partitioning + in-file order + clock-free gzip members)."""
+    import glob
+    import os
+    from datetime import datetime, timezone
+
+    rows = [
+        (
+            f"http://h{i % 3}.example.com/p/{i}" + (".jpg" if i % 5 == 0 else ""),
+            datetime(2024, 1, 1 + i % 20, i % 24, tzinfo=timezone.utc),
+            (f"<html>page {i}</html>" if i % 5 else "IMGBYTES" * i).encode(),
+        )
+        for i in range(60)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    m1 = warc.write_warc_sink(pages, out1, files=4).collect()
+    m2 = warc.write_warc_sink(pages, out2, files=4).collect()
+    assert sum(r["n_records"] for r in m1) == 60
+    files1 = sorted(glob.glob(os.path.join(out1, "part-*.warc.gz")))
+    files2 = sorted(glob.glob(os.path.join(out2, "part-*.warc.gz")))
+    assert files1 and len(files1) == len(files2)
+    for f1, f2 in zip(files1, files2):
+        assert os.path.basename(f1) == os.path.basename(f2)
+        with open(f1, "rb") as a, open(f2, "rb") as b:
+            assert a.read() == b.read()
+
+    back = warc.read_warc(spark, out1)
+    got = {
+        r["url"]: (r["warc_date"], r["mime"], bytes(r["body"]), r["http_status"])
+        for r in back.collect()
+    }
+    assert len(got) == 60
+    for url, ts, body in rows:
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        mime = "image/jpeg" if url.endswith(".jpg") else "text/html"
+        assert got[url] == (date, mime, body, 200), url

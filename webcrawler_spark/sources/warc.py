@@ -110,6 +110,98 @@ def write_warc(
     return n
 
 
+WRITE_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def write_warc_sink(
+    pages: DataFrame,
+    out_dir: str,
+    files: int | None = None,
+    gzip_members: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+) -> DataFrame:
+    """Distributed pages-table -> WARC export (the sink twin of
+    :func:`read_warc`): each task writes ONE ``part-<id>.warc[.gz]`` file
+    of WARC/1.0 response records, Common-Crawl layout (per-record gzip
+    members, so downstream range requests decompress one record).
+
+    Deterministic output: rows are range-partitioned and sorted on the URL
+    column, and the file name is the partition id — same input, same
+    ``files``, byte-identical archive set on any cluster. Content-Type
+    comes from the URL extension (the same mapping the crawl's fetch uses)
+    and WARC-Date from ``ts_col`` (UTC, second granularity; NULL -> epoch).
+
+    Returns the lazy one-row-per-file manifest (warc_file, n_records,
+    n_bytes); any action on it performs the export. Task retries rewrite
+    their partition's file in place (open 'wb' truncates), so a failed/
+    speculative attempt cannot duplicate records in a file — but the
+    directory is not committed atomically; wrap in a staging-dir rename
+    (RoundStore.write_export pattern) if the destination must flip
+    all-or-nothing."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from ..functions import urls as U
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = files or pages.sparkSession.sparkContext.defaultParallelism
+    src = pages.select(
+        F.col(url_col).alias("u"),
+        F.date_format(
+            F.coalesce(
+                F.col(ts_col).cast("timestamp"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            ),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("d"),
+        F.col(body_col).cast("binary").alias("b"),
+        F.substring_index(U.content_type_for(F.col(url_col)), ";", 1).alias("m"),
+    ).repartitionByRange(n_files, F.col("u")).sortWithinPartitions("u")
+
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def write(batches):
+        import gzip as _gzip
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = total = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for u, d, b, m in zip(pdf["u"], pdf["d"], pdf["b"], pdf["m"]):
+                    raw = warc_record_bytes(
+                        str(u), str(d), bytes(b) if b is not None else b"",
+                        mime=str(m),
+                    )
+                    # mtime=0 keeps the gzip header clock-free — the
+                    # byte-identical-output promise above
+                    out = (
+                        _gzip.compress(raw, 6, mtime=0) if gzip_members else raw
+                    )
+                    f.write(out)
+                    n += 1
+                    total += len(out)
+        if n == 0:
+            os.remove(path)  # empty partition: no empty archive
+            return
+        yield pd.DataFrame(
+            [{"warc_file": path, "n_records": n, "n_bytes": total}]
+        )
+
+    return src.mapInPandas(write, WRITE_MANIFEST_SCHEMA)
+
+
 # ----------------------------------------------------------------- parser ----
 
 def _gunzip_members(data: bytes) -> bytes:
