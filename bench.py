@@ -145,6 +145,8 @@ def main() -> None:
     # round-5 additions: discovery-loop extraction, priority politeness,
     # update-mode streaming admission
     suite_r5 = [
+        "warc_roundtrip",
+        "sitemap_recrawl",
         "robots_sitemaps",
         "crawl_delay_budget",
         "politeness_priority",
