@@ -1267,15 +1267,16 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of admission → politeness → fetch-join → parse-UDF → explode. Returns
     the (round, host, url) crawl order straight from the committed
     checkpoint parquet (no driver-side collect round-trip)."""
-    import os
-    import shutil
+    import tempfile
 
     from webcrawler_spark import fixtures
     from webcrawler_spark.plans.crawl import CrawlConfig, run_crawl
 
     paths = _ensure_bfs_fixture()
-    ckpt = os.path.join(_BFS_DIR, "ckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # per-call checkpoint dir: the FIXTURE is an idempotent shared read,
+    # but a shared ckpt path would let two concurrent sessions clobber
+    # each other's round manifests (observed as a parquet-read flake)
+    ckpt = tempfile.mkdtemp(prefix="bfs_ckpt_")
     # tiny fixture web: shrink the shuffle so the 8-round loop stays quick
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1293,9 +1294,12 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = result.order(spark)
         return order.select(
             F.col("round").cast("long").alias("round"), "host", "url"
-        )
+        ).localCheckpoint()  # materialize so the temp ckpt can be removed
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _sql_crawl_bfs() -> str:
