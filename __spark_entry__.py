@@ -452,6 +452,59 @@ FROM documents
 # queries — deduplication
 # ---------------------------------------------------------------------------
 
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup — the domain-level table a training-data
+    pipeline curates by (keep/downweight/drop whole sources): doc count,
+    exact-dup share, mean quality, language mix, in ONE map-side-combined
+    groupBy over one scan. Integer-exact aggregation: per-doc quality
+    (already rounded to 4 dp) converts to 1e-4 units BEFORE the sum, so
+    the mean is an integer DIV — no FP summation-order drift, DuckDB
+    hash-matches."""
+    docs = _t(spark, sf_dir, "documents")
+    q_units = F.floor(
+        textstats.quality_score(F.col("text")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    lang = textstats.lang_id(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        q_units.alias("qu"),
+        lang.alias("lang"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup"),
+        F.expr("sum(qu) DIV count(1)").alias("mean_quality_x1e4"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang") == "und", 1).otherwise(0)).alias("n_und"),
+    )
+
+
+def _sql_source_quality_rollup() -> str:
+    lang = _sql_lang_id().strip()
+    qual = _sql_quality().strip()
+    return f"""
+WITH lang AS ({lang}), qual AS ({qual}),
+per_doc AS (
+  SELECT d.source, md5(d.text) AS h,
+         floor(q.quality * 10000 + 0.5)::BIGINT AS qu,
+         l.lang_pred AS lang
+  FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN lang l ON l.doc_id = d.doc_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT h)::BIGINT AS n_unique,
+       (count(*) - count(DISTINCT h))::BIGINT AS n_dup,
+       (sum(qu) // count(*))::BIGINT AS mean_quality_x1e4,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und
+FROM per_doc GROUP BY source
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4-style cleanup pipeline a training-data run chains:
     exact-dedup keepers only -> language gate (en) -> quality floor.
@@ -2621,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_admission_update": q_stream_admission_update,  # NEW r5
         "sitemap_recrawl": q_sitemap_recrawl,            # NEW r5
         "warc_roundtrip": q_warc_roundtrip,              # NEW r5 (sink)
+        "source_quality_rollup": q_source_quality_rollup,  # NEW r5
         "sitemap_parse": q_sitemap_parse,                # + pos column
         "stream_frontier_admission": q_stream_frontier_admission,  # regex-free
         "frontier_admission": q_frontier_admission,      # dedup priority agg
@@ -2693,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_priority": _sql_politeness_priority(),
         "sitemap_recrawl": _sql_sitemap_recrawl(),
         "warc_roundtrip": _sql_warc_roundtrip(),
+        "source_quality_rollup": _sql_source_quality_rollup(),
         "frontier_admission": _sql_frontier_admission(),
         "seed_list_decode": """
             WITH src AS (

@@ -145,6 +145,7 @@ def main() -> None:
     # round-5 additions: discovery-loop extraction, priority politeness,
     # update-mode streaming admission
     suite_r5 = [
+        "source_quality_rollup",
         "warc_roundtrip",
         "sitemap_recrawl",
         "robots_sitemaps",
